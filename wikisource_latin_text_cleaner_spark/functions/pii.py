@@ -1,0 +1,59 @@
+"""PII / toxicity regex scrub battery (engine extension).
+
+Reference precedents: URL stripping and bracketed-attribution removal
+(Text Cleaner/step3_clean_content.py:174-195), the v1 numeric scrub
+(Text Cleaner/The SAD Folder/clean_texts.py:22), and the compiled-battery
+pattern (Text Cleaner/optimized_regex_patterns.py:11-128). Generalized here
+to the web-text stack: emails, URLs, IPv4, long digit runs (card/ssn/phone
+shaped), and a small toxicity lexicon gate.
+
+All patterns compile once per process; `scrub_pii` is pure and runs inside
+the Arrow-batched scrub UDF. Counters per category feed the metrics table.
+"""
+
+from __future__ import annotations
+
+import re
+
+EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+URL = re.compile(r"(?:https?://|www\.)[^\s<>\"']+", re.IGNORECASE)
+IPV4 = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
+CARDISH = re.compile(r"\b(?:\d[ -]?){13,19}\b")
+PHONEISH = re.compile(r"\+?\d{1,3}[ -.]?\(?\d{2,4}\)?[ -.]?\d{3,4}[ -.]?\d{3,4}\b")
+LONG_DIGITS = re.compile(r"\b\d{9,}\b")
+
+#: (name, pattern, replacement) in application order; URL before the digit
+#: rules so numeric path segments don't half-match.
+BATTERY = (
+    ("email", EMAIL, "<EMAIL>"),
+    ("url", URL, "<URL>"),
+    ("ipv4", IPV4, "<IP>"),
+    ("card", CARDISH, "<NUMBER>"),
+    ("phone", PHONEISH, "<NUMBER>"),
+    ("digits", LONG_DIGITS, "<NUMBER>"),
+)
+
+#: Minimal demo lexicon -- a stand-in for a real toxicity word list; the
+#: mechanism (broadcast lexicon + count threshold) is what matters at scale.
+TOXICITY_LEXICON = frozenset(
+    ("stultissimus", "execrabilis", "obscenus", "damnatus", "maledictus")
+)
+_TOX_WORD = re.compile(r"\w+", re.UNICODE)
+
+
+def scrub_pii(text: str) -> tuple[str, dict]:
+    """Replace PII spans with typed placeholders; return (text, counts)."""
+    counts: dict = {}
+    for name, pat, repl in BATTERY:
+        text, n = pat.subn(repl, text)
+        if n:
+            counts[name] = n
+    return text, counts
+
+
+def toxicity_score(text: str) -> float:
+    """Fraction of words in the toxicity lexicon (0..1)."""
+    words = _TOX_WORD.findall(text.lower())
+    if not words:
+        return 0.0
+    return sum(1 for w in words if w in TOXICITY_LEXICON) / len(words)

@@ -1,0 +1,72 @@
+"""Gopher/C4-style quality heuristics as pure Catalyst Column expressions.
+
+The reference computes the same *shapes* in Python loops (index thresholds
+Text Cleaner/step1_remove_short_files.py:87-109, line-length analysis
+step2_sort_by_period_genre.py:316-364); here they are JVM-side expressions
+that stay inside whole-stage codegen -- no Python in the hot path. These
+feed the relational quality queries in __spark_entry__ (with DuckDB
+oracles); the keep/drop pipeline itself uses the pure-Python twin in
+rules.extension_reasons so the Spark output and the label oracle share one
+definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mirror of rules.STOPWORDS (kept in sync by tests/test_quality.py)
+STOPWORDS = sorted(
+    "the of and to in a is was for that et in de ad cum ex pro per ab non "
+    "sed ut si quod qui quae der die und das le la les el los en".split()
+)
+
+
+def words(col) -> Column:
+    """Whitespace tokenization of non-empty tokens."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != F.lit(""))
+
+
+def n_words(col) -> Column:
+    return F.size(words(col))
+
+
+def mean_word_len(col) -> Column:
+    w = words(col)
+    return F.when(
+        F.size(w) > 0,
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.size(w),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col) -> Column:
+    w = F.transform(words(F.lower(col)), lambda x: F.regexp_replace(x, r"[^\w]", ""))
+    hits = F.size(F.filter(w, lambda x: x.isin(STOPWORDS)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def symbol_ratio(col) -> Column:
+    stripped = F.regexp_replace(col, r"[^#@^*\\~|<>=_{}]", "")
+    return F.when(
+        F.length(col) > 0, F.length(stripped) / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_line_len(col) -> Column:
+    lines = F.filter(F.split(col, r"\n"), lambda l: F.length(F.trim(l)) > 0)
+    return F.when(
+        F.size(lines) > 0,
+        F.aggregate(lines, F.lit(0.0), lambda acc, l: acc + F.length(l)) / F.size(lines),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_columns(text_col: str = "text") -> dict:
+    """Bundle of named quality expressions for select(**)."""
+    c = F.col(text_col)
+    return {
+        "n_words": n_words(c),
+        "mean_word_len": mean_word_len(c),
+        "stopword_ratio": stopword_ratio(c),
+        "symbol_ratio": symbol_ratio(c),
+        "mean_line_len": mean_line_len(c),
+    }

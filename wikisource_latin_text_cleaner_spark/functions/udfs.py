@@ -1,0 +1,124 @@
+"""Arrow-batched pandas UDFs binding the pure-Python cores to Spark.
+
+Per BASELINE.json:input_hint all Python execution is vectorized pandas/Arrow
+UDFs -- each UDF here receives a ``pd.Series`` per Arrow batch (no
+row-at-a-time Spark Python UDFs anywhere in the engine). The regex batteries
+compile once per executor at module import (the Spark analog of the
+reference's precompile-once singleton, Text Cleaner/optimized_regex_patterns.py:11-14,185-186).
+
+The scrub/verdict UDFs intentionally keep Python ``re`` semantics (not
+Catalyst ``regexp_replace``) because byte-identical output per url is a
+contract (SURVEY.md §4.3-2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import classify, langid, perplexity, pii, rules, scrub
+
+VERDICT_SCHEMA = StructType([
+    StructField("keep", BooleanType()),
+    StructField("drop_reasons", ArrayType(StringType())),
+    StructField("clean_text", StringType()),
+])
+
+CLASSIFY_SCHEMA = StructType([
+    StructField("title", StringType()),
+    StructField("category", StringType()),
+    StructField("text_type", StringType()),
+    StructField("period", StringType()),
+    StructField("period_confidence", StringType()),
+    StructField("genre", StringType()),
+    StructField("genre_confidence", StringType()),
+    StructField("confidence", StringType()),
+])
+
+LANGID_SCHEMA = StructType([
+    StructField("lang_pred", StringType()),
+    StructField("lang_margin", DoubleType()),
+])
+
+PII_SCHEMA = StructType([
+    StructField("text", StringType()),
+    StructField("pii_spans", IntegerType()),
+])
+
+
+@pandas_udf(StringType())
+def scrub_udf(texts: pd.Series) -> pd.Series:
+    """Byte-identical step3..6 scrub composition."""
+    return texts.map(lambda t: scrub.scrub_document(t or ""))
+
+
+def make_verdict_udf(min_size_bytes: int = rules.MIN_SIZE_BYTES,
+                     extensions: rules.ExtensionConfig | None = None):
+    """Verdict UDF factory; config is captured in the closure (the Spark
+    equivalent of a broadcast rule table)."""
+
+    @pandas_udf(VERDICT_SCHEMA)
+    def verdict_udf(texts: pd.Series) -> pd.DataFrame:
+        verdicts = [
+            rules.evaluate_document(t, min_size_bytes, extensions) for t in texts
+        ]
+        return pd.DataFrame({
+            "keep": [v.keep for v in verdicts],
+            "drop_reasons": [v.drop_reasons for v in verdicts],
+            "clean_text": [v.clean_text for v in verdicts],
+        })
+
+    return verdict_udf
+
+
+@pandas_udf(CLASSIFY_SCHEMA)
+def classify_udf(texts: pd.Series) -> pd.DataFrame:
+    recs = [classify.classify_document(t or "") for t in texts]
+    return pd.DataFrame({
+        k: [r[k] for r in recs]
+        for k in ("title", "category", "text_type", "period", "period_confidence",
+                  "genre", "genre_confidence", "confidence")
+    })
+
+
+@pandas_udf(LANGID_SCHEMA)
+def langid_udf(texts: pd.Series) -> pd.DataFrame:
+    preds = [langid.predict(t or "") for t in texts]
+    return pd.DataFrame({
+        "lang_pred": [p[0] for p in preds],
+        "lang_margin": [p[1] for p in preds],
+    })
+
+
+@pandas_udf(StringType())
+def langid_label_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(langid.predict_batch(texts))
+
+
+@pandas_udf(DoubleType())
+def perplexity_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series(perplexity.perplexity_batch(texts))
+
+
+@pandas_udf(PII_SCHEMA)
+def pii_udf(texts: pd.Series) -> pd.DataFrame:
+    scrubbed, spans = [], []
+    for t in texts:
+        s, counts = pii.scrub_pii(t or "")
+        scrubbed.append(s)
+        spans.append(sum(counts.values()))
+    return pd.DataFrame({"text": scrubbed, "pii_spans": spans})
+
+
+@pandas_udf(DoubleType())
+def toxicity_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: pii.toxicity_score(t or ""))

@@ -1,0 +1,152 @@
+"""The quality-filter pipeline: pages -> (pages_clean columns, metrics).
+
+One declarative DataFrame chain (SURVEY.md §3.4): scan -> [salt] -> verdict
+(Arrow UDF applying the byte-identical step3..6 composition + gates) ->
+extension gates (langid / perplexity / PII) -> keep/drop decision. There is
+NO shuffle in the transform itself -- Catalyst plans scan -> ArrowEvalPython
+-> project/filter per partition; only the metrics aggregation (tiny) and an
+optional skew-defusing repartition shuffle anything.
+
+Quarantine semantics (ref: Text Cleaner/step1_remove_short_files.py:215-231
+backs removed files up rather than losing them): dropped rows are never
+deleted, they carry keep=false + drop_reasons, and sinks partition by
+`keep` so consumers prune quarantined rows at scan time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import rules, udfs
+from .skew import salted_repartition
+
+
+@dataclass
+class PipelineConfig:
+    min_size_bytes: int = rules.MIN_SIZE_BYTES
+    #: None -> reference-fidelity mode; ExtensionConfig -> web mode
+    extensions: rules.ExtensionConfig | None = None
+    classify: bool = True
+    langid: bool = True
+    allowed_langs: tuple = ("la",)
+    #: None disables the perplexity gate
+    perplexity_threshold: float | None = None
+    pii_scrub: bool = False
+    #: 0 disables the salted repartition (use when input partitioning is fine)
+    salt_partitions: int = 0
+
+
+class QualityFilterPipeline:
+    """Composable per-document filter/scrub over a `pages`-shaped DataFrame."""
+
+    def __init__(self, config: PipelineConfig | None = None):
+        self.config = config or PipelineConfig()
+
+    def transform(self, pages: DataFrame) -> DataFrame:
+        """Annotate pages with verdict/classification/language columns.
+
+        Output columns: url, warc_ts, lang, keep, drop_reasons, clean_text
+        [, period, genre, confidence][, lang_pred, lang_margin][, ppx]
+        [, pii_spans]. Column pruning: only url/warc_ts/text/lang are read.
+        """
+        cfg = self.config
+        df = pages.select("url", "warc_ts", "text", "lang")
+        if cfg.salt_partitions:
+            df = salted_repartition(df, "url", cfg.salt_partitions)
+
+        verdict_udf = udfs.make_verdict_udf(cfg.min_size_bytes, cfg.extensions)
+        df = df.withColumn("verdict", verdict_udf("text"))
+        if cfg.classify:
+            df = df.withColumn("cls", udfs.classify_udf("text"))
+        df = df.select(
+            "url",
+            "warc_ts",
+            "lang",
+            F.col("verdict.keep").alias("keep"),
+            F.col("verdict.drop_reasons").alias("drop_reasons"),
+            F.col("verdict.clean_text").alias("clean_text"),
+            *(
+                (
+                    F.col("cls.period").alias("period"),
+                    F.col("cls.genre").alias("genre"),
+                    F.col("cls.confidence").alias("confidence"),
+                )
+                if cfg.classify
+                else ()
+            ),
+        )
+
+        if cfg.langid:
+            df = df.withColumn(
+                "lid", udfs.langid_udf(F.when(F.col("keep"), F.col("clean_text")).otherwise(F.col("clean_text")))
+            ).select("*", F.col("lid.lang_pred").alias("lang_pred"),
+                     F.col("lid.lang_margin").alias("lang_margin")).drop("lid")
+            gate_fail = F.col("keep") & ~F.col("lang_pred").isin(*self.config.allowed_langs)
+            df = df.withColumn(
+                "drop_reasons",
+                F.when(gate_fail, F.array_union("drop_reasons", F.array(F.lit("langid"))))
+                .otherwise(F.col("drop_reasons")),
+            ).withColumn("keep", F.col("keep") & ~gate_fail)
+
+        if cfg.perplexity_threshold is not None:
+            df = df.withColumn("ppx", udfs.perplexity_udf("clean_text"))
+            gate_fail = F.col("keep") & (F.col("ppx") > cfg.perplexity_threshold)
+            df = df.withColumn(
+                "drop_reasons",
+                F.when(gate_fail, F.array_union("drop_reasons", F.array(F.lit("perplexity"))))
+                .otherwise(F.col("drop_reasons")),
+            ).withColumn("keep", F.col("keep") & ~gate_fail)
+
+        if cfg.pii_scrub:
+            df = (
+                df.withColumn("pii", udfs.pii_udf("clean_text"))
+                .withColumn("clean_text", F.when(F.col("keep"), F.col("pii.text"))
+                            .otherwise(F.col("clean_text")))
+                .withColumn("pii_spans", F.col("pii.pii_spans"))
+                .drop("pii")
+            )
+        return df
+
+    def metrics(self, transformed: DataFrame) -> DataFrame:
+        """Per-partition lineage counters (SURVEY.md §4.3-3): one row per
+        (partition_id, rule) plus a `_partition_total` row per partition --
+        the Spark re-expression of the reference's per-step report files
+        (Text Cleaner/detailed_progress_logger.py:33-47)."""
+        base = transformed.withColumn("partition_id", F.spark_partition_id())
+        per_rule = (
+            base.select("partition_id", F.explode_outer("drop_reasons").alias("rule"))
+            .where(F.col("rule").isNotNull())
+            .groupBy("partition_id", "rule")
+            .agg(F.count("*").alias("docs_dropped"))
+            .withColumn("docs_in", F.lit(None).cast("long"))
+            .withColumn("docs_out", F.lit(None).cast("long"))
+        )
+        totals = base.groupBy("partition_id").agg(
+            F.count("*").alias("docs_in"),
+            F.sum(F.col("keep").cast("long")).alias("docs_out"),
+            (F.count("*") - F.sum(F.col("keep").cast("long"))).alias("docs_dropped"),
+        ).withColumn("rule", F.lit("_partition_total"))
+        return per_rule.unionByName(
+            totals.select("partition_id", "rule", "docs_dropped", "docs_in", "docs_out")
+        )
+
+    def run(self, pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+        out = self.transform(pages)
+        return out, self.metrics(out)
+
+
+def drop_reason_histogram(transformed: DataFrame) -> DataFrame:
+    """Corpus-level decision histogram (ref step1 keep/drop counters,
+    Text Cleaner/step1_remove_short_files.py:233-258)."""
+    return (
+        transformed.select(
+            F.when(F.col("keep"), F.lit("keep"))
+            .otherwise(F.element_at("drop_reasons", 1))
+            .alias("decision")
+        )
+        .groupBy("decision")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -1,0 +1,56 @@
+"""Skew handling: salted repartition for Zipfian web domains.
+
+The reference is single-machine and has no analog (SURVEY.md §4.3-1); at
+10^12-document scale one mega-domain would otherwise pin a single task.
+Strategy: repartition on (domain, salt) where salt spreads each domain over
+`n_salts` subpartitions. Because the pipeline's transform is per-row, the
+salt needs no unsalting join afterwards -- it exists purely to even out task
+input sizes. Heavy-hitter detection (for diagnostics / adaptive salting) is
+a broadcast-size aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def domain_of(url_col) -> F.Column:
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+def salted_repartition(df: DataFrame, url_col: str, num_partitions: int,
+                       n_salts: int = 16) -> DataFrame:
+    """Repartition by (domain, salt) so no domain exceeds ~1/n_salts of a
+    partition's share. Deterministic: salt = xxhash64(url) % n_salts."""
+    return (
+        df.withColumn("_domain", domain_of(F.col(url_col)))
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)))
+        .repartition(num_partitions, F.col("_domain"), F.col("_salt"))
+        .drop("_domain", "_salt")
+    )
+
+
+def heavy_hitters(df: DataFrame, url_col: str = "url", top_n: int = 10) -> DataFrame:
+    """Per-domain row counts, descending -- the broadcastable skew profile."""
+    return (
+        df.select(domain_of(F.col(url_col)).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "domain")
+        .limit(top_n)
+    )
+
+
+def partition_size_spread(df: DataFrame) -> DataFrame:
+    """Rows per physical partition -- bench evidence that salting defused
+    the skew (max/mean close to 1)."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("n_rows"))
+        .agg(
+            F.max("n_rows").alias("max_rows"),
+            F.avg("n_rows").alias("mean_rows"),
+            F.count("*").alias("n_partitions"),
+        )
+    )

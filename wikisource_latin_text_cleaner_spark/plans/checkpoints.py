@@ -1,0 +1,78 @@
+"""Per-partition checkpoint/resume bookkeeping (north_rule: resumable).
+
+Re-expresses the reference's step-level resumability (--steps re-runs a
+suffix, Text Cleaner/clean_texts_v2.py:195-211; stage directories as
+checkpoints :111-131) at the right granularity for a cluster: deterministic
+URL-hash buckets.
+
+Contract:
+  - every row belongs to bucket = pmod(xxhash64(url), n_buckets)
+  - output is written partitionBy("bucket") with dynamic partition
+    overwrite, so re-processing a bucket replaces exactly that bucket
+  - a bucket is "done" when its manifest row exists in <out>/_checkpoints
+    (written only AFTER the data write for that run completes)
+  - resume = recompute only buckets absent from the manifest; a kill
+    between data write and manifest write just re-does those buckets
+    idempotently (same input -> same bytes)
+
+At 100 TB this means a failed job resumes at bucket granularity with no
+coordination beyond one tiny manifest read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_bucket(df: DataFrame, n_buckets: int, key: str = "url") -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set:
+    manifest = os.path.join(out_dir, "_checkpoints")
+    if not os.path.exists(manifest):
+        return set()
+    rows = spark.read.parquet(manifest).select("bucket").distinct().collect()
+    return {r["bucket"] for r in rows}
+
+
+def run_resumable(
+    transform,
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+) -> int:
+    """Run `transform` over all not-yet-done buckets; returns #buckets run.
+
+    `transform` is DataFrame -> DataFrame (e.g. QualityFilterPipeline.transform).
+    """
+    spark = pages.sparkSession
+    done = completed_buckets(spark, out_dir)
+    bucketed = with_bucket(pages, n_buckets)
+    todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
+
+    result = transform(todo.drop("bucket"))
+    result = with_bucket(result, n_buckets)
+
+    data_dir = os.path.join(out_dir, "data")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # manifest append AFTER data is durable
+    all_buckets = set(range(n_buckets)) - done
+    manifest = os.path.join(out_dir, "_checkpoints")
+    spark.createDataFrame(
+        [(int(b),) for b in sorted(all_buckets)], "bucket int"
+    ).write.mode("append").parquet(manifest)
+    return len(all_buckets)
+
+
+def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "data"))

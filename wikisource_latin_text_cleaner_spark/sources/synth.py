@@ -213,14 +213,17 @@ def generate_pages(n_rows: int, seed: int = 42) -> list[PageRow]:
         lang = _pick_lang(rng)
         shape = rng.randrange(100)
 
-        if shape < 6:  # too-short document
+        if shape < 6:  # too-short document (Latin-ish content regardless of draw)
+            lang = "la"
             body = _sentence(rng, "la", 3, 6)
             text = body if rng.random() < 0.5 else _header(rng, title, url) + "\n" + body
         elif shape < 12:  # index/TOC document
+            lang = "la"
             lines = list(INDEX_LINES)
             rng.shuffle(lines)
             text = _header(rng, title, url) + "\n" + "\n".join(lines)
         elif shape < 16:  # shrinks to nothing after scrub
+            lang = "la"
             junk = ["=== Sectio ===", "__TOC__", "[[Categoria:Test]]",
                     "12.", "IV.", "FINIS", "* * *", "{{navbox}}",
                     "Categoria: Latinitas", "1453"]
