@@ -1,0 +1,132 @@
+"""Dedup + similarity operator correctness vs pure-python/numpy oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wikisource_latin_text_cleaner_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "gallia est omnis divisa in partes tres quarum unam incolunt belgae "
+        "aliam aquitani tertiam qui ipsorum lingua celtae nostra galli appellantur"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("belgae", "galli")),  # near dup of 0
+        (3, "arma virumque cano troiae qui primus ab oris italiam fato profugus "
+            "laviniaque venit litora multum ille et terris iactatus et alto"),
+        (4, "at regina gravi iamdudum saucia cura vulnus alit venis et caeco "
+            "carpitur igni multa viri virtus animo multusque recursat"),
+        (5, base + " extra verba in fine posita sunt hic"),  # near dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 not in ids and 0 in ids
+    assert ids == {0, 2, 3, 4, 5}
+
+
+def test_minhash_pairs_and_dedup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup.minhash_near_duplicates(docs, threshold=0.7).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (0, 5) in pairs  # near dups found
+    assert not any({a, b} == {3, 4} for a, b in pairs)  # unrelated texts not paired
+    kept = {r["doc_id"] for r in dedup.minhash_dedup(docs, threshold=0.7).collect()}
+    assert 0 in kept and 1 not in kept and 3 in kept and 4 in kept
+
+
+def test_simhash_pairs(docs):
+    # 4x16-bit banding guarantees candidate generation for hamming <= 3
+    # (pigeonhole); exact dups are always caught, unrelated texts never.
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert not any({a, b} == {3, 4} for a, b in pairs)
+
+
+def test_simhash_matches_numpy_oracle(docs):
+    rows = docs.select("doc_id", "text").collect()
+    sigs = {r["doc_id"]: dedup._simhash64(r["text"]) for r in rows}
+    spark_sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", dedup.simhash_udf("text").alias("s")).collect()
+    }
+    assert sigs == spark_sigs
+
+
+def test_ngram_jaccard(docs, spark):
+    cands = spark.createDataFrame([(0, 1), (0, 2), (3, 4)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs, cands, threshold=0.0).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 < out[(0, 2)] < 1.0
+    assert out[(3, 4)] < 0.1
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+QUERY = [1.0 if i % 3 == 0 else (-0.5 if i % 3 == 1 else 0.25) for i in range(64)]
+
+
+def test_brute_force_topk_matches_numpy(embeddings):
+    got = similarity.brute_force_topk(embeddings, QUERY, k=5).collect()
+    rows = embeddings.select("vec_id", "embedding").collect()
+    q = np.array(QUERY)
+    sims = sorted(
+        (
+            (float(np.dot(r["embedding"], q) / (np.linalg.norm(r["embedding"]) * np.linalg.norm(q))), -r["vec_id"])
+            for r in rows
+        ),
+        reverse=True,
+    )[:5]
+    expect_ids = [int(-neg_id) for _, neg_id in sims]
+    assert [r["vec_id"] for r in got] == expect_ids
+    for r, (s, _) in zip(got, sims):
+        assert abs(r["cosine"] - round(s, 6)) < 1e-4
+
+
+def test_lsh_topk_recall_random_data(embeddings):
+    # testdata embeddings are near-random (top cosine ~0.33), which bounds
+    # sublinear ANN recall; assert a loose floor at a 30% probe budget.
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(embeddings, QUERY, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_topk(embeddings, QUERY, k=10).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.3, (exact, approx)
+
+
+def test_lsh_topk_recall_clustered_data(spark):
+    # on clustered embeddings (the realistic case) recall should be high
+    rng = np.random.RandomState(8)
+    centers = rng.standard_normal((10, 64)) * 4
+    rows = [
+        (int(i), (centers[i % 10] + rng.standard_normal(64) * 0.3).tolist())
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = centers[3].tolist()
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.lsh_topk(df, q, k=10).collect()]
+    assert len(set(exact) & set(approx)) / 10 >= 0.9
+
+
+def test_embedding_near_duplicates(spark):
+    v = np.random.RandomState(5).standard_normal(64)
+    rows = [
+        (0, (v / np.linalg.norm(v)).tolist()),
+        (1, (v / np.linalg.norm(v) * 2.0).tolist()),     # same direction
+        (2, np.random.RandomState(6).standard_normal(64).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_near_duplicates(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]

@@ -1,0 +1,280 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+The reference's only dedup is last-write-wins by filename during dataset
+merges (Text Cleaner/step7_create_merged_datasets.py:62-66) -- made explicit
+here as `exact_dedup` -- plus the near-dup family a web-scale training-data
+pipeline needs (task brief; no reference precedent).
+
+Scale design notes:
+  - signatures are computed in Arrow-batched pandas UDFs (numpy; one pass
+    per batch), so the only shuffles are the band-bucket join (keys are
+    ~uniform by construction -> no skew) and the final semi-join;
+  - candidate generation is band-bucket equality (classic MinHash-LSH /
+    SimHash banding), never an O(n^2) cross join;
+  - verification stays JVM-side (zip_with/aggregate on signature arrays,
+    bit_count on simhash) -- no Python in the pair loop;
+  - "canonical doc" = smallest id among verified near-dups; a row is dropped
+    iff some verified duplicate has a smaller id (single-level transitivity,
+    the standard near-dup-dedup approximation -- no iterative connected
+    components job needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# -- deterministic hashing helpers (no PYTHONHASHSEED dependence) -----------
+
+_MERSENNE = np.int64((1 << 61) - 1)
+_RNG = np.random.RandomState(42)
+_MINHASH_A = _RNG.randint(1, 1 << 31, size=64).astype(np.int64)
+_MINHASH_B = _RNG.randint(0, 1 << 31, size=64).astype(np.int64)
+_SIMHASH_RNG = np.random.RandomState(1337)
+
+
+def _char_shingle_hashes(text: str, width: int = 5) -> np.ndarray:
+    """Distinct rolling polynomial hashes of char `width`-grams."""
+    codes = np.frombuffer(text.lower().encode("utf-32-le"), dtype=np.uint32)
+    codes = codes.astype(np.int64)
+    if codes.size < width:
+        return np.array([codes.sum() if codes.size else 0], dtype=np.int64)
+    acc = np.zeros(codes.size - width + 1, dtype=np.int64)
+    for i in range(width):
+        acc = acc * np.int64(1_000_003) + codes[i: codes.size - width + 1 + i]
+    return np.unique(acc & np.int64(0x7FFFFFFFFFFFFFFF))
+
+
+def _minhash_signature(text: str, k: int = 64) -> np.ndarray:
+    sh = _char_shingle_hashes(text)
+    # affine permutations over a Mersenne-prime field
+    vals = (sh[None, :] * _MINHASH_A[:k, None] + _MINHASH_B[:k, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = text.lower().split()
+    if not toks:
+        return np.zeros(1, dtype=np.int64)
+    out = np.zeros(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        h = np.int64(1469598103934665603)
+        for ch in t.encode("utf-8"):
+            h = np.int64((int(h) ^ ch) * 1099511628211 & 0x7FFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def _simhash64(text: str) -> int:
+    hashes = _token_hashes(text)
+    bits = ((hashes[:, None] >> np.arange(64)[None, :]) & 1).astype(np.int32)
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = 0
+    for b in np.nonzero(votes > 0)[0]:
+        sig |= 1 << int(b)
+    return sig - (1 << 63) if sig >= (1 << 63) else sig  # to signed long
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _minhash_signature(t or "").tolist())
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _simhash64(t or ""))
+
+
+# -- exact dedup (ref U2) ----------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text, smallest id wins.
+
+    (ref: last-wins filename overwrite, step7_create_merged_datasets.py:62-66,
+    made deterministic and explicit.)
+    """
+    canon = df.groupBy(F.md5(F.col(text_col)).alias("_h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(canon, id_col, "leftsemi")
+
+
+# -- MinHash + LSH near-dup ---------------------------------------------------
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Verified near-dup pairs (id_a < id_b, est_jaccard >= threshold).
+
+    shingle -> minhash (Arrow UDF) -> band -> bucket-join -> JVM-side verify.
+    """
+    sigs = df.select(F.col(id_col).alias("id"), minhash_udf(text_col).alias("sig"))
+    bands_df = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
+            )
+        ).alias("band", "band_key"),
+    )
+    left = bands_df.select("band", "band_key", F.col("id").alias("id_a"),
+                           F.col("sig").alias("sig_a"))
+    right = bands_df.select("band", "band_key", F.col("id").alias("id_b"),
+                            F.col("sig").alias("sig_b"))
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    k = bands * rows_per_band
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        )
+        / F.lit(k)
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.8) -> DataFrame:
+    """Drop every doc that near-duplicates a smaller-id doc."""
+    dup_ids = (
+        minhash_near_duplicates(df, text_col, id_col, threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dup_ids, id_col, "left_anti")
+
+
+# -- SimHash near-dup ---------------------------------------------------------
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash banding (4x16-bit bands; any equal
+    band -> candidate; verify bit_count(xor) <= max_hamming)."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sim"))
+    bands_df = sigs.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), b * 16).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = bands_df.select("band", "band_key", F.col("id").alias("id_a"),
+                           F.col("sim").alias("sim_a"))
+    right = bands_df.select("band", "band_key", F.col("id").alias("id_b"),
+                            F.col("sim").alias("sim_b"))
+    return (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- exact n-gram Jaccard (verification-grade) --------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word n-gram Jaccard for candidate (id_a, id_b) pairs.
+
+    JVM-side: tokenize once per doc, build distinct n-gram arrays, then
+    array_intersect/array_union on the joined pairs.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split(F.lower(text_col), r"\s+")) - n, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.lower(text_col), r"\s+"), i + 1, n)
+                ),
+            )
+        ).alias("grams"),
+    )
+    a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        joined.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -- embedding-cosine near-dup ------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold, bucketed by random-hyperplane
+    signature so only same-bucket pairs are compared."""
+    hyper = _SIMHASH_RNG.standard_normal((planes, dim))
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+        bits = (mat @ hyper.T) > 0
+        return pd.Series((bits * (1 << np.arange(planes))).sum(axis=1).astype(np.int64))
+
+    sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     bucket_udf(vec_col).alias("bucket"))
+    a = sigs.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = sigs.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                                        lambda acc, x: acc + x))  # noqa: E731
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("v_a")) * norm(F.col("v_b"))), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,77 @@
+"""Text-analysis operators: token counting, fingerprinting, corpus stats,
+dataset views -- the relational surface of the engine.
+
+Maps the reference's reporting aggregations (SURVEY.md §2.6-2.8) onto
+Catalyst: A1 size stats, A2 keep/drop counters, A3 classification cube,
+A5 per-dataset totals, A6/O2 top-k, A7 success rate, U1 dataset views,
+plus tokenization/fingerprinting for the training-data stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token regex: words, numbers, or single punctuation marks
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_col(text_col) -> F.Column:
+    """Whitespace token count (JVM-side)."""
+    return F.size(F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: w != F.lit("")))
+
+
+def bpe_ish_token_count_col(text_col) -> F.Column:
+    """Token count under the BPE-ish regex (regexp_count, JVM-side)."""
+    return F.regexp_count(text_col, F.lit(TOKEN_PATTERN))
+
+
+def fingerprint_col(text_col) -> F.Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text (rolling-hash analog, JVM-side)."""
+    return F.md5(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
+
+
+def size_stats(df: DataFrame, size_col: str = "n_chars") -> DataFrame:
+    """Corpus size stats (ref A1: step1_remove_short_files.py:117-144)."""
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.min(size_col).alias("min_chars"),
+        F.max(size_col).alias("max_chars"),
+        F.round(F.avg(size_col), 4).alias("avg_chars"),
+        F.sum(size_col).alias("total_chars"),
+    )
+
+
+def classification_cube(df: DataFrame, *cols: str) -> DataFrame:
+    """Counts with all margins (ref A3: step2 histogram + per-period margins,
+    step2_sort_by_period_genre.py:551-565) == CUBE."""
+    return df.cube(*cols).agg(F.count("*").alias("n_docs"))
+
+
+def top_k(df: DataFrame, order_col: str, k: int, id_col: str,
+          descending: bool = True) -> DataFrame:
+    """Deterministic top-k (ref A6/O2: orderBy + limit with id tie-break)."""
+    order = [F.desc(order_col) if descending else F.asc(order_col), F.col(id_col)]
+    return df.orderBy(*order).limit(k)
+
+
+def dataset_views(df: DataFrame, filters: dict) -> DataFrame:
+    """Overlapping dataset 'merges' as a single unioned, labeled frame
+    (ref U1: step7 materialized 12-16 overlapping corpora as copies;
+    idiomatic Spark = views/predicates over one table)."""
+    parts = [
+        df.where(cond).withColumn("dataset", F.lit(name)) for name, cond in filters.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dataset_totals(views: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-dataset doc count + byte totals (ref A5: step7 reports)."""
+    return views.groupBy("dataset").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length(text_col)).alias("total_bytes"),
+    )
