@@ -1,38 +1,666 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -- flagship: full quality-filter pipeline over sf0.001
+                  documents-as-pages -> per-source keep-rate + drop-reason
+                  histogram.
+queries()      -- one callable per implemented operator (SURVEY.md §2 +
+                  training-data extensions).
+oracle_sql()   -- DuckDB-equivalent SQL for every SQL-expressible query.
+                  Scrub/langid/dedup-signature ops are non-SQL-expressible
+                  (Python re / numpy model semantics) and ship without
+                  oracles -> driver records rows-only checks.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark query and the oracle SQL; floats are rounded on both sides before
+comparison.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wikisource_latin_text_cleaner_spark.functions import quality, udfs  # noqa: E402
+from wikisource_latin_text_cleaner_spark.operators import (  # noqa: E402
+    dedup,
+    similarity,
+    textstats,
+)
+from wikisource_latin_text_cleaner_spark.operators.pipeline import (  # noqa: E402
+    PipelineConfig,
+    QualityFilterPipeline,
+    drop_reason_histogram,
+)
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """documents(doc_id,text,lang,source,n_chars) -> pages-shaped frame."""
+    return docs.select(
+        F.concat(F.lit("doc://"), "source", F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "text",
+        "lang",
+    )
+
+
+_KNN_QUERY = [1.0 if i % 3 == 0 else (-0.5 if i % 3 == 1 else 0.25) for i in range(64)]
+_KNN_SQL_VEC = "[" + ", ".join(f"{x}::DOUBLE" for x in _KNN_QUERY) + "]"
+
+_STOPWORDS = quality.STOPWORDS
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scan -> Arrow scrub/verdict UDF -> gates -> groupBy report."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    pipe = QualityFilterPipeline(PipelineConfig(langid=True, classify=False))
+    out = pipe.transform(_docs_as_pages(docs))
+    src = F.regexp_extract("url", r"doc://([^/]+)/", 1).alias("source")
+    return (
+        out.select(src, "keep", "drop_reasons")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.avg(F.col("keep").cast("double")), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_size_stats(spark, sf):
+    """A1: corpus size stats (ref step1_remove_short_files.py:117-144)."""
+    return textstats.size_stats(_docs(spark, sf))
+
+
+def q_smallest10(spark, sf):
+    """O2: smallest-10 listing (ref step1:134-136)."""
+    return textstats.top_k(
+        _docs(spark, sf).select("doc_id", "n_chars"), "n_chars", 10, "doc_id",
+        descending=False,
+    )
+
+
+def q_top5_longest(spark, sf):
+    """A6/O3: top-k by size (ref detailed_progress_logger.py:359-371)."""
+    return textstats.top_k(
+        _docs(spark, sf).select("doc_id", "n_chars"), "n_chars", 5, "doc_id"
+    )
+
+
+def q_keep_drop_hist(spark, sf):
+    """A2 (SQL-expressible gates): decision histogram over size thresholds
+    (ref step1:183-209 + step6:245-261 thresholds)."""
+    d = _docs(spark, sf)
+    decision = (
+        F.when(F.octet_length("text") < 200, F.lit("min_size"))
+        .when(F.length(F.trim("text")) < 50, F.lit("post_clean_len"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        d.select(decision.alias("decision"))
+        .groupBy("decision")
+        .agg(F.count("*").alias("n_docs"), )
+    )
+
+
+def q_lang_source_cube(spark, sf):
+    """A3: classification histogram with margins == CUBE (ref step2:551-565)."""
+    return textstats.classification_cube(_docs(spark, sf), "lang", "source")
+
+
+def q_confidence_tiers(spark, sf):
+    """C3: score -> tier CASE expression (ref step2:232-236,409-417)."""
+    d = _docs(spark, sf)
+    tier = (
+        F.when(F.col("n_chars") >= 400, "high")
+        .when(F.col("n_chars") >= 200, "medium")
+        .when(F.col("n_chars") >= 100, "low")
+        .otherwise("very_low")
+    )
+    return d.select(tier.alias("tier")).groupBy("tier").agg(F.count("*").alias("n_docs"))
+
+
+def q_success_rate(spark, sf):
+    """A7: success-rate percentage per group (ref detailed_progress_logger.py:319-321)."""
+    d = _docs(spark, sf)
+    return d.groupBy("lang").agg(
+        F.round(F.avg((F.col("n_chars") >= 200).cast("double")), 4).alias("keep_rate"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_union_corpora(spark, sf):
+    """U1: overlapping dataset views unioned with labels (ref step7 configs)."""
+    d = _docs(spark, sf)
+    views = textstats.dataset_views(
+        d,
+        {
+            "latin_only": F.col("lang") == "la",
+            "big_docs": F.col("n_chars") >= 300,
+            "complete": F.lit(True),
+        },
+    )
+    return textstats.dataset_totals(views)
+
+
+def q_dedup_exact(spark, sf):
+    """U2: last-wins dedup made explicit -- canonical id per distinct text."""
+    d = _docs(spark, sf)
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+def q_token_counts(spark, sf):
+    """Token counting per lang (whitespace tokens, JVM-side)."""
+    d = _docs(spark, sf)
+    return d.groupBy("lang").agg(
+        F.sum(textstats.token_count_col(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg(textstats.token_count_col(F.col("text"))), 4).alias("avg_tokens"),
+    )
+
+
+def q_bpe_token_counts(spark, sf):
+    """Token counting under the BPE-ish regex."""
+    d = _docs(spark, sf)
+    return d.groupBy("lang").agg(
+        F.sum(textstats.bpe_ish_token_count_col(F.col("text"))).alias("total_tokens")
+    )
+
+
+def q_fingerprints(spark, sf):
+    """Document fingerprinting (md5 of normalized text)."""
+    d = _docs(spark, sf)
+    return d.select("doc_id", textstats.fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+def q_stopword_ratio(spark, sf):
+    """Gopher stop-word-ratio heuristic per lang (ref F3 prose predicate)."""
+    d = _docs(spark, sf)
+    return d.groupBy("lang").agg(
+        F.round(F.avg(quality.stopword_ratio(F.col("text"))), 4).alias("avg_stopword_ratio")
+    )
+
+
+def q_mean_line_len(spark, sf):
+    """Gopher mean-line-length heuristic (ref C2 line-length analysis)."""
+    d = _docs(spark, sf)
+    return d.groupBy("source").agg(
+        F.round(F.avg(quality.mean_line_len(F.col("text"))), 4).alias("avg_line_len"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_symbol_ratio(spark, sf):
+    """Gopher symbol-to-char ratio heuristic."""
+    d = _docs(spark, sf)
+    return d.groupBy("source").agg(
+        F.round(F.avg(quality.symbol_ratio(F.col("text"))), 6).alias("avg_symbol_ratio")
+    )
+
+
+def q_mean_word_len(spark, sf):
+    """Gopher mean-word-length heuristic."""
+    d = _docs(spark, sf)
+    return d.groupBy("lang").agg(
+        F.round(F.avg(quality.mean_word_len(F.col("text"))), 4).alias("avg_word_len")
+    )
+
+
+def q_pii_matches(spark, sf):
+    """PII span counting (email+url regex, JVM-side regexp_count)."""
+    d = _docs(spark, sf)
+    email = F.regexp_count("text", F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
+    url = F.regexp_count("text", F.lit(r"https?://[^\s]+"))
+    return d.groupBy("lang").agg(
+        F.sum(email).alias("email_matches"), F.sum(url).alias("url_matches")
+    )
+
+
+def q_events_by_type(spark, sf):
+    """A4-analog: per-event-type counters."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def q_events_hourly(spark, sf):
+    """Event-time bucketing (batch analog of the streaming window agg)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def q_events_top_users(spark, sf):
+    """Top-k with window rank (A6 analog over users)."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "user_id", "n_events")
+    )
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped relational agg over lineitem (engine substrate)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    """Broadcast-join star query: lineitem x supplier x nation."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_orders_by_segment(spark, sf):
+    """Broadcast-join orders x customer aggregation."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_knn_bruteforce(spark, sf):
+    """Exact cosine top-10 over embeddings (ANN baseline)."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.brute_force_topk(e, _KNN_QUERY, k=10)
+
+
+def q_ngram_jaccard_near_dups(spark, sf):
+    """Exact 3-gram Jaccard >= 0.8 pairs among exact-dup candidates.
+
+    Candidates: docs sharing a fingerprint prefix bucket (cheap blocking);
+    verification is exact and SQL-expressible, so this one HAS an oracle.
+    """
+    d = _docs(spark, sf).select("doc_id", "text")
+    block = d.withColumn("blk", F.substring(textstats.fingerprint_col(F.col("text")), 1, 2))
+    a = block.select(F.col("blk"), F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
+    b = block.select(F.col("blk"), F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
+    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return dedup.ngram_jaccard_pairs(
+        d, pairs, text_col="text", id_col="doc_id", n=3, threshold=0.8
+    )
+
+
+# ---- non-SQL-expressible ops (rows-only driver check) ----------------------
+
+def q_pipeline_decisions(spark, sf):
+    """Full reference-fidelity pipeline decision histogram over documents."""
+    pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=False))
+    out = pipe.transform(_docs_as_pages(_docs(spark, sf)))
+    return drop_reason_histogram(out).orderBy("decision")
+
+
+def q_pipeline_clean_sample(spark, sf):
+    """Byte-stable scrubbed output hashes for kept docs (fidelity witness)."""
+    pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=False))
+    out = pipe.transform(_docs_as_pages(_docs(spark, sf)))
+    return (
+        out.where("keep")
+        .select("url", F.md5("clean_text").alias("clean_md5"))
+        .orderBy("url")
+        .limit(100)
+    )
+
+
+def q_langid_histogram(spark, sf):
+    """Langid over raw docs vs ground-truth lang: confusion counts."""
+    d = _docs(spark, sf)
+    return (
+        d.select("lang", udfs.langid_label_udf("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_perplexity_stats(spark, sf):
+    """Char-bigram LM perplexity distribution per lang."""
+    d = _docs(spark, sf)
+    return d.select("lang", udfs.perplexity_udf("text").alias("ppx")).groupBy("lang").agg(
+        F.round(F.avg("ppx"), 2).alias("avg_ppx"),
+        F.round(F.min("ppx"), 2).alias("min_ppx"),
+    )
+
+
+def q_minhash_dedup_count(spark, sf):
+    """MinHash-LSH near-dup survivors count by lang."""
+    d = _docs(spark, sf)
+    kept = dedup.minhash_dedup(d, threshold=0.9)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs (hamming <= 3)."""
+    return dedup.simhash_near_duplicates(_docs(spark, sf), max_hamming=3)
+
+
+def q_knn_lsh(spark, sf):
+    """IVF/LSH approximate top-10 (ANN scale path)."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.lsh_topk(e, _KNN_QUERY, k=10)
+
+
+def q_embedding_near_dups(spark, sf):
+    """Embedding-cosine near-dup pairs (>= 0.95) via hyperplane buckets."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return dedup.embedding_near_duplicates(e, threshold=0.95)
+
+
+def q_classify_periods(spark, sf):
+    """C1/C2: period/genre classification histogram over documents."""
+    pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=True))
+    out = pipe.transform(_docs_as_pages(_docs(spark, sf)))
+    return out.groupBy("period", "genre").agg(F.count("*").alias("n_docs"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "size_stats": q_size_stats,
+        "smallest10": q_smallest10,
+        "top5_longest": q_top5_longest,
+        "keep_drop_hist": q_keep_drop_hist,
+        "lang_source_cube": q_lang_source_cube,
+        "confidence_tiers": q_confidence_tiers,
+        "success_rate": q_success_rate,
+        "union_corpora": q_union_corpora,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "bpe_token_counts": q_bpe_token_counts,
+        "fingerprints": q_fingerprints,
+        "stopword_ratio": q_stopword_ratio,
+        "mean_line_len": q_mean_line_len,
+        "symbol_ratio": q_symbol_ratio,
+        "mean_word_len": q_mean_word_len,
+        "pii_matches": q_pii_matches,
+        "events_by_type": q_events_by_type,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "orders_by_segment": q_orders_by_segment,
+        "knn_bruteforce": q_knn_bruteforce,
+        "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
+        # non-SQL-expressible (rows-only)
+        "pipeline_decisions": q_pipeline_decisions,
+        "pipeline_clean_sample": q_pipeline_clean_sample,
+        "langid_histogram": q_langid_histogram,
+        "perplexity_stats": q_perplexity_stats,
+        "minhash_dedup_count": q_minhash_dedup_count,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_lsh": q_knn_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "classify_periods": q_classify_periods,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "size_stats": """
+            SELECT count(*) AS n_docs, min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars, round(avg(n_chars), 4) AS avg_chars,
+                   sum(n_chars) AS total_chars
+            FROM documents
+        """,
+        "smallest10": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars ASC, doc_id ASC LIMIT 10
+        """,
+        "top5_longest": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 5
+        """,
+        "keep_drop_hist": """
+            SELECT CASE WHEN octet_length(encode(text)) < 200 THEN 'min_size'
+                        WHEN length(trim(text)) < 50 THEN 'post_clean_len'
+                        ELSE 'keep' END AS decision,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "lang_source_cube": """
+            SELECT lang, source, count(*) AS n_docs
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "confidence_tiers": """
+            SELECT CASE WHEN n_chars >= 400 THEN 'high'
+                        WHEN n_chars >= 200 THEN 'medium'
+                        WHEN n_chars >= 100 THEN 'low'
+                        ELSE 'very_low' END AS tier,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "success_rate": """
+            SELECT lang,
+                   round(avg(CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END), 4) AS keep_rate,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "union_corpora": """
+            WITH views AS (
+                SELECT 'latin_only' AS dataset, text FROM documents WHERE lang = 'la'
+                UNION ALL
+                SELECT 'big_docs' AS dataset, text FROM documents WHERE n_chars >= 300
+                UNION ALL
+                SELECT 'complete' AS dataset, text FROM documents
+            )
+            SELECT dataset, count(*) AS n_docs,
+                   sum(octet_length(encode(text))) AS total_bytes
+            FROM views GROUP BY dataset
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_counts": """
+            SELECT lang,
+                   sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> ''))) AS total_tokens,
+                   round(avg(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                             x -> x <> ''))), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "bpe_token_counts": """
+            SELECT lang,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "stopword_ratio": f"""
+            SELECT lang,
+                   round(avg(
+                     CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                               x -> x <> '')) > 0
+                     THEN len(list_filter(
+                            list_transform(
+                              list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> ''),
+                              x -> regexp_replace(x, '[^\\w]', '', 'g')),
+                            x -> list_contains({_STOP_SQL}, x))) * 1.0
+                          / len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            x -> x <> ''))
+                     ELSE 0.0 END), 4) AS avg_stopword_ratio
+            FROM documents GROUP BY lang
+        """,
+        "mean_line_len": """
+            SELECT source,
+                   round(avg(
+                     CASE WHEN len(list_filter(string_split(text, chr(10)),
+                                               l -> length(trim(l)) > 0)) > 0
+                     THEN list_sum(list_transform(
+                            list_filter(string_split(text, chr(10)),
+                                        l -> length(trim(l)) > 0),
+                            l -> length(l) * 1.0))
+                          / len(list_filter(string_split(text, chr(10)),
+                                            l -> length(trim(l)) > 0))
+                     ELSE 0.0 END), 4) AS avg_line_len,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "symbol_ratio": """
+            SELECT source,
+                   round(avg(CASE WHEN length(text) > 0
+                     THEN length(regexp_replace(text, '[^#@^*\\\\~|<>=_{}]', '', 'g')) * 1.0
+                          / length(text)
+                     ELSE 0.0 END), 6) AS avg_symbol_ratio
+            FROM documents GROUP BY source
+        """,
+        "mean_word_len": """
+            SELECT lang,
+                   round(avg(
+                     CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                               x -> x <> '')) > 0
+                     THEN list_sum(list_transform(
+                            list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> ''),
+                            x -> length(x) * 1.0))
+                          / len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                            x -> x <> ''))
+                     ELSE 0.0 END), 4) AS avg_word_len
+            FROM documents GROUP BY lang
+        """,
+        "pii_matches": """
+            SELECT lang,
+                   sum(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS email_matches,
+                   sum(len(regexp_extract_all(text, 'https?://[^\\s]+'))) AS url_matches
+            FROM documents GROUP BY lang
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "events_top_users": """
+            SELECT rank, user_id, n_events FROM (
+              SELECT user_id, count(*) AS n_events,
+                     row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank
+              FROM events GROUP BY user_id
+            ) WHERE rank <= 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "knn_bruteforce": f"""
+            SELECT vec_id,
+                   round(list_dot_product(embedding, {_KNN_SQL_VEC})
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product({_KNN_SQL_VEC}, {_KNN_SQL_VEC}))), 6)
+                     AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "ngram_jaccard_near_dups": """
+            WITH grams AS (
+              SELECT doc_id,
+                     md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+                     list_distinct(
+                       list_transform(
+                         range(0, greatest(len(string_split_regex(lower(text), '\\s+')) - 3, 0) + 1),
+                         i -> array_to_string(
+                                list_slice(string_split_regex(lower(text), '\\s+'),
+                                           i + 1, i + 3), ' ')))
+                       AS g
+              FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS g_a, b.g AS g_b
+              FROM grams a JOIN grams b
+                ON substr(a.fp, 1, 2) = substr(b.fp, 1, 2) AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(len(list_intersect(g_a, g_b)) * 1.0
+                         / len(list_distinct(list_concat(g_a, g_b))), 4) AS jaccard
+            FROM pairs
+            WHERE len(list_intersect(g_a, g_b)) * 1.0
+                  / len(list_distinct(list_concat(g_a, g_b))) >= 0.8
+        """,
+    }
+
+
+if __name__ == "__main__":
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    entry(spark).show()
