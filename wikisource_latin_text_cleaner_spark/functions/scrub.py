@@ -60,10 +60,42 @@ def _is_roman(token: str) -> bool:
 
 
 def _sub_all(text: str, battery) -> str:
-    """Apply an ordered battery of (compiled_pattern, replacement) pairs."""
-    for pat, repl in battery:
-        text = pat.sub(repl, text)
+    """Apply an ordered battery of (compiled_pattern, replacement, guards).
+
+    ``guards`` is a tuple of lowercase literals such that every possible
+    match of the pattern must contain at least one of them; when none occurs
+    in the (lowercased) text the pattern provably cannot match and the regex
+    scan is skipped. An empty tuple means "always run". The lowercased view
+    is invalidated whenever a substitution fires, so a literal introduced by
+    an earlier replacement is still seen -- guard skipping is therefore
+    byte-exact vs running every pattern unconditionally. This is the same
+    cheap-check-first idea the reference applies at document level
+    (Text Cleaner/step1_remove_short_files.py:190-209), pushed down to the
+    per-pattern level: most documents contain none of the rare artifacts, so
+    most of the ~150 battery patterns never scan them.
+    """
+    low = None
+    for pat, repl, guards in battery:
+        if guards:
+            if low is None:
+                low = text.lower()
+            if not any(g in low for g in guards):
+                continue
+        text, n = pat.subn(repl, text)
+        if n:
+            low = None
     return text
+
+
+def _abbrev_guard(p: str) -> tuple:
+    """Derive a guard literal for a ``\\bfoo\\.``-style pattern: the longest
+    literal fragment between whitespace escapes, with ``\\.`` unescaped."""
+    body = p.replace(r"\b", "").replace(r"\.", "\0")
+    parts = re.split(r"\\s[*+]", body)
+    best = max(parts, key=len)
+    if not re.fullmatch(r"[A-Za-z\0']+", best):
+        return ()
+    return (best.replace("\0", ".").lower(),)
 
 
 # --------------------------------------------------------------------------
@@ -74,7 +106,7 @@ def _sub_all(text: str, battery) -> str:
 #: semantic -- e.g. the generic 'q.' rule fires before praenomina handling,
 #: so 'Q. Fabius' becomes 'que Fabius'. (ref: step3_clean_content.py:64-106)
 ABBREVIATION_RULES = tuple(
-    (re.compile(p, _I), r)
+    (re.compile(p, _I), r, _abbrev_guard(p))
     for p, r in (
         (r"\bq\.", "que"),
         (r"\bc\.", "cum"),
@@ -180,32 +212,32 @@ MARKUP_PREFIXES = (
 )
 
 _ATTRIBUTION_BATTERY = tuple(
-    (re.compile(p, f), r)
-    for p, f, r in (
-        (r".*Exported from Wikisource.*\n?", _I, ""),
-        (r"About this digital edition.*$", _M | _S, ""),
+    (re.compile(p, f), r, g)
+    for p, f, r, g in (
+        (r".*Exported from Wikisource.*\n?", _I, "", ("exported from wikisource",)),
+        (r"About this digital edition.*$", _M | _S, "", ("about this digital edition",)),
         # category sections (ref step3:139-153)
-        (r"==\s*Commentarium\s*==.*$", _M | _S, ""),
-        (r"^Categoria?:\s*.*$", _M | _I, ""),
-        (r"(^Categoria?:\s*.*\n?){2,}", _M | _I, ""),
-        (r"\n+(?:Categoria?:\s*.*\n?)+$", _I, ""),
+        (r"==\s*Commentarium\s*==.*$", _M | _S, "", ("commentarium",)),
+        (r"^Categoria?:\s*.*$", _M | _I, "", ("categori",)),
+        (r"(^Categoria?:\s*.*\n?){2,}", _M | _I, "", ("categori",)),
+        (r"\n+(?:Categoria?:\s*.*\n?)+$", _I, "", ("categori",)),
         # source URLs (ref step3:184-186)
-        (r"Source:\s*https?://.*\n?", _I, ""),
-        (r"https?://[^\s]+", 0, ""),
+        (r"Source:\s*https?://.*\n?", _I, "", ("source:",)),
+        (r"https?://[^\s]+", 0, "", ("http",)),
         # bracketed editorial notes (ref step3:188-190)
-        (r"\[.*?(?:ed\.|edit\.|source|wiki).*?\]", _I, ""),
-        (r"\(.*?(?:ed\.|edit\.|source|wiki).*?\)", _I, ""),
+        (r"\[.*?(?:ed\.|edit\.|source|wiki).*?\]", _I, "", ("ed.", "edit.", "source", "wiki")),
+        (r"\(.*?(?:ed\.|edit\.|source|wiki).*?\)", _I, "", ("ed.", "edit.", "source", "wiki")),
         # publisher attribution (ref step3:193)
-        (r".*(?:von Bunge|Napiersky).*possint.*", _I, ""),
+        (r".*(?:von Bunge|Napiersky).*possint.*", _I, "", ("possint",)),
     )
 )
 
 _TOC_BATTERY = tuple(
-    (re.compile(p), r)
-    for p, r in (
-        (r"__TOC__", ""),
-        (r"==+.*?==+", ""),
-        (r"===+.*?===+", ""),
+    (re.compile(p), r, g)
+    for p, r, g in (
+        (r"__TOC__", "", ("__toc__",)),
+        (r"==+.*?==+", "", ("==",)),
+        (r"===+.*?===+", "", ("===",)),
     )
 )
 
@@ -213,13 +245,16 @@ _TOC_BATTERY = tuple(
 _ALLOWED_PUNCT = frozenset(".,:;!?'\"-()[]")
 
 _PUNCT_COLLAPSE = tuple(
-    (re.compile(p), r)
-    for p, r in ((r"\.{2,}", "."), (r",{2,}", ","), (r";{2,}", ";"), (r":{2,}", ":"))
+    (re.compile(p), r, g)
+    for p, r, g in (
+        (r"\.{2,}", ".", ("..",)), (r",{2,}", ",", (",,",)),
+        (r";{2,}", ";", (";;",)), (r":{2,}", ":", ("::",)),
+    )
 )
 
 _FINAL_WS = (
-    (re.compile(r"\n{3,}"), "\n\n"),
-    (re.compile(r"[ \t]+"), " "),
+    (re.compile(r"\n{3,}"), "\n\n", ("\n\n\n",)),
+    (re.compile(r"[ \t]+"), " ", ()),
 )
 
 
@@ -271,18 +306,33 @@ def _drop_non_latin_lines(text: str) -> str:
     return "\n".join(out)
 
 
+class _WhitelistTable(dict):
+    """Memoizing ``str.translate`` table for the step-3 char whitelist:
+    keep alpha/space/digit/_ALLOWED_PUNCT (identity entry), fold en/em dash
+    to '-', drop everything else (None). Decisions are computed once per
+    distinct codepoint, so the per-document cost is one C-level translate
+    pass instead of a Python char loop."""
+
+    def __missing__(self, cp: int):
+        ch = chr(cp)
+        if ch.isalpha() or ch.isspace() or ch in _ALLOWED_PUNCT or ch.isdigit():
+            r = ch
+        elif ch in "–—":
+            r = "-"
+        else:
+            r = None
+        self[cp] = r
+        return r
+
+
+_WHITELIST_TABLE = _WhitelistTable()
+
+
 def _whitelist_punctuation(text: str) -> str:
     # ref: step3_clean_content.py:280-310. Character whitelist; en/em dash
     # fold to '-'; everything else (incl. curly quotes) is dropped -- the
     # reference's curly-quote branch is dead code due to source encoding.
-    buf = []
-    append = buf.append
-    for ch in text:
-        if ch.isalpha() or ch.isspace() or ch in _ALLOWED_PUNCT or ch.isdigit():
-            append(ch)
-        elif ch in "–—":
-            append("-")
-    return _sub_all("".join(buf), _PUNCT_COLLAPSE)
+    return _sub_all(text.translate(_WHITELIST_TABLE), _PUNCT_COLLAPSE)
 
 
 def _gender_context(text: str, pos: int) -> str:
@@ -377,12 +427,12 @@ _LEADING_NUMBER = re.compile(r"^\s*\d+\.\s*")
 _TRAILING_NUMBER = re.compile(r"\s+\d+\s*$")
 
 _INLINE_MARKUP = tuple(
-    (re.compile(p), r)
-    for p, r in (
-        (r"'''([^']+)'''", r"\1"),
-        (r"''([^']+)''", r"\1"),
-        (r"\[\[([^\]]+)\]\]", r"\1"),
-        (r"\{\{[^\}]+\}\}", ""),
+    (re.compile(p), r, g)
+    for p, r, g in (
+        (r"'''([^']+)'''", r"\1", ("'''",)),
+        (r"''([^']+)''", r"\1", ("''",)),
+        (r"\[\[([^\]]+)\]\]", r"\1", ("[[",)),
+        (r"\{\{[^\}]+\}\}", "", ("{{",)),
     )
 )
 
@@ -458,7 +508,9 @@ def stage_headings(text: str) -> str:
 #: Medieval spelling variants, applied case-insensitively in order
 #: (ref: step5_standardize_orthography.py:19-137; three groups flattened)
 VARIANT_RULES = tuple(
-    (re.compile(p, _I), r)
+    # every pattern is \bword\b (one with a redundant (?!\w)); the word
+    # itself is the guard literal, so unaffected documents skip all ~67 scans
+    (re.compile(p, _I), r, (re.sub(r"\\b|\(\?\!\\w\)", "", p).lower(),))
     for p, r in (
         # h/ch variants
         (r"\bmichi\b", "mihi"),
@@ -589,13 +641,13 @@ _FINAL_QUOTE_PAIRS = (
 )
 
 _SPACING_BATTERY = tuple(
-    (re.compile(p), r)
-    for p, r in (
-        (r"\s+([,.;:!?])", r"\1"),
-        (r"([,.;:!?])\s+", r"\1 "),
-        (r"\s*([\"'])\s*", r" \1"),
-        (r"\s*\(\s*", r" ("),
-        (r"\s*\)\s*", r") "),
+    (re.compile(p), r, g)
+    for p, r, g in (
+        (r"\s+([,.;:!?])", r"\1", ()),
+        (r"([,.;:!?])\s+", r"\1 ", ()),
+        (r"\s*([\"'])\s*", r" \1", ('"', "'")),
+        (r"\s*\(\s*", r" (", ("(",)),
+        (r"\s*\)\s*", r") ", (")",)),
     )
 )
 
@@ -663,32 +715,33 @@ _MULTI_NL = re.compile(r"\n{3,}")
 
 #: Editorial/footnote battery (ref: optimized_regex_patterns.py:81-98)
 _EDITORIAL_BATTERY = tuple(
-    (re.compile(p, f), "")
-    for p, f in (
-        (r"\[.*?ed\..*?\]", _I),
-        (r"\[.*?edit.*?\]", _I),
-        (r"\<.*?ed\..*?\>", _I),
-        (r"\{.*?ed\..*?\}", _I),
-        (r"\[sic\]", _I),
-        (r"\[.*?\?\]", 0),
-        (r"\[\.{3,}\]", 0),
-        (r"\[lacuna\]", _I),
-        (r"\[gap\]", _I),
-        (r"\[missing\]", _I),
-        (r"\[corrupt\]", _I),
-        (r"\[illegible\]", _I),
-        (r"\[\d+\]", 0),
-        (r"\(\d+\)", 0),
+    (re.compile(p, f), "", g)
+    for p, f, g in (
+        (r"\[.*?ed\..*?\]", _I, ("ed.",)),
+        (r"\[.*?edit.*?\]", _I, ("edit",)),
+        (r"\<.*?ed\..*?\>", _I, ("ed.",)),
+        (r"\{.*?ed\..*?\}", _I, ("ed.",)),
+        (r"\[sic\]", _I, ("[sic]",)),
+        (r"\[.*?\?\]", 0, ("[",)),
+        (r"\[\.{3,}\]", 0, ("[...",)),
+        (r"\[lacuna\]", _I, ("[lacuna]",)),
+        (r"\[gap\]", _I, ("[gap]",)),
+        (r"\[missing\]", _I, ("[missing]",)),
+        (r"\[corrupt\]", _I, ("[corrupt]",)),
+        (r"\[illegible\]", _I, ("[illegible]",)),
+        (r"\[\d+\]", 0, ("[",)),
+        (r"\(\d+\)", 0, ("(",)),
     )
 )
 
 _PUNCT_RUNS = tuple(
-    (re.compile(p), r)
-    for p, r in (
-        (r"\.{2,}", "."), (r",{2,}", ","), (r";{2,}", ";"),
-        (r":{2,}", ":"), (r"!{2,}", "!"), (r"\?{2,}", "?"),
-        (r"\s+([,.;:!?])", r"\1"),
-        (r"([,.;:!?])(?=[a-zA-Z])", r"\1 "),
+    (re.compile(p), r, g)
+    for p, r, g in (
+        (r"\.{2,}", ".", ("..",)), (r",{2,}", ",", (",,",)),
+        (r";{2,}", ";", (";;",)), (r":{2,}", ":", ("::",)),
+        (r"!{2,}", "!", ("!!",)), (r"\?{2,}", "?", ("??",)),
+        (r"\s+([,.;:!?])", r"\1", ()),
+        (r"([,.;:!?])(?=[a-zA-Z])", r"\1 ", ()),
     )
 )
 

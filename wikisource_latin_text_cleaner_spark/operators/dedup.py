@@ -132,12 +132,6 @@ def minhash_near_duplicates(
                            F.col("sig").alias("sig_a"))
     right = bands_df.select("band", "band_key", F.col("id").alias("id_b"),
                             F.col("sig").alias("sig_b"))
-    pairs = (
-        left.join(right, ["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
     k = bands * rows_per_band
     est = (
         F.size(
@@ -148,10 +142,18 @@ def minhash_near_duplicates(
         )
         / F.lit(k)
     )
+    # Verify in the join projection and filter BEFORE deduplicating: the
+    # surviving pair set is tiny, so dropDuplicates aggregates 3 scalar
+    # columns instead of dragging two 64-long signature arrays through a
+    # SortAggregate (which at web scale would shuffle ~1 KB/pair for nothing).
+    # Both join inputs shuffle on (band, band_key) with identical child plans,
+    # so AQE reuses one exchange and the minhash UDF runs once per doc.
     return (
-        pairs.withColumn("est_jaccard", est)
+        left.join(right, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -197,8 +199,8 @@ def simhash_near_duplicates(
         left.join(right, ["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
