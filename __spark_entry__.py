@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from wikisource_latin_text_cleaner_spark.functions import quality, udfs  # noqa: E402
+from wikisource_latin_text_cleaner_spark.functions import html as htmlx  # noqa: E402
 from wikisource_latin_text_cleaner_spark.operators import (  # noqa: E402
     dedup,
+    multimodal,
     similarity,
     textstats,
 )
@@ -42,8 +44,15 @@ from wikisource_latin_text_cleaner_spark.operators.pipeline import (  # noqa: E4
 # helpers
 # --------------------------------------------------------------------------
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    """Load the documents table. ``spread=True`` round-robins the rows across
+    the default parallelism: the sf* files are written as one row group, so
+    without it every Arrow-UDF query would run as a single task regardless
+    of core count. Values are unaffected; only task decomposition changes."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _docs_as_pages(docs: DataFrame) -> DataFrame:
@@ -171,7 +180,7 @@ def q_dedup_exact(spark, sf):
 
 def q_token_counts(spark, sf):
     """Token counting per lang (whitespace tokens, JVM-side)."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return d.groupBy("lang").agg(
         F.sum(textstats.token_count_col(F.col("text"))).alias("total_tokens"),
         F.round(F.avg(textstats.token_count_col(F.col("text"))), 4).alias("avg_tokens"),
@@ -180,7 +189,7 @@ def q_token_counts(spark, sf):
 
 def q_bpe_token_counts(spark, sf):
     """Token counting under the BPE-ish regex."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return d.groupBy("lang").agg(
         F.sum(textstats.bpe_ish_token_count_col(F.col("text"))).alias("total_tokens")
     )
@@ -188,13 +197,13 @@ def q_bpe_token_counts(spark, sf):
 
 def q_fingerprints(spark, sf):
     """Document fingerprinting (md5 of normalized text)."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return d.select("doc_id", textstats.fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
 def q_stopword_ratio(spark, sf):
     """Gopher stop-word-ratio heuristic per lang (ref F3 prose predicate)."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return d.groupBy("lang").agg(
         F.round(F.avg(quality.stopword_ratio(F.col("text"))), 4).alias("avg_stopword_ratio")
     )
@@ -202,7 +211,7 @@ def q_stopword_ratio(spark, sf):
 
 def q_mean_line_len(spark, sf):
     """Gopher mean-line-length heuristic (ref C2 line-length analysis)."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return d.groupBy("source").agg(
         F.round(F.avg(quality.mean_line_len(F.col("text"))), 4).alias("avg_line_len"),
         F.count("*").alias("n_docs"),
@@ -211,7 +220,7 @@ def q_mean_line_len(spark, sf):
 
 def q_symbol_ratio(spark, sf):
     """Gopher symbol-to-char ratio heuristic."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return d.groupBy("source").agg(
         F.round(F.avg(quality.symbol_ratio(F.col("text"))), 6).alias("avg_symbol_ratio")
     )
@@ -219,7 +228,7 @@ def q_symbol_ratio(spark, sf):
 
 def q_mean_word_len(spark, sf):
     """Gopher mean-word-length heuristic."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return d.groupBy("lang").agg(
         F.round(F.avg(quality.mean_word_len(F.col("text"))), 4).alias("avg_word_len")
     )
@@ -227,7 +236,7 @@ def q_mean_word_len(spark, sf):
 
 def q_pii_matches(spark, sf):
     """PII span counting (email+url regex, JVM-side regexp_count)."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     email = F.regexp_count("text", F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"))
     url = F.regexp_count("text", F.lit(r"https?://[^\s]+"))
     return d.groupBy("lang").agg(
@@ -331,19 +340,74 @@ def q_ngram_jaccard_near_dups(spark, sf):
     )
 
 
+def q_html_extract(spark, sf):
+    """html->text extraction (ref M20 generalized): wrap each document as
+    escaped HTML binary, extract through the Arrow UDF, hash the result.
+    The extraction policy is exactly replicable in SQL, so this HAS an
+    oracle: extracted text == whitespace-normalized original."""
+    d = _docs(spark, sf, spread=True)
+    esc = F.concat(
+        F.lit("<html><body><p>"),
+        F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"), F.lit("&lt;"),
+            ),
+            F.lit(">"), F.lit("&gt;"),
+        ),
+        F.lit("</p></body></html>"),
+    )
+    wrapped = d.select("doc_id", F.encode(esc, "utf-8").alias("payload"))
+    return wrapped.select(
+        "doc_id",
+        F.md5(F.encode(htmlx.html_to_text_udf("payload"), "utf-8")).alias("extracted_md5"),
+    )
+
+
 # ---- non-SQL-expressible ops (rows-only driver check) ----------------------
+
+
+def q_toxicity_stats(spark, sf):
+    """Toxicity lexicon gate stats (functions/pii.py; unicode \\w semantics
+    differ from RE2 so no SQL oracle -- rows-only)."""
+    d = _docs(spark, sf, spread=True)
+    return (
+        d.select("lang", udfs.toxicity_udf("text").alias("tox"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("tox"), 6).alias("avg_toxicity"),
+            F.sum((F.col("tox") > 0).cast("long")).alias("n_flagged"),
+        )
+    )
+
+
+def q_media_image_features(spark, sf):
+    """Multimodal: image feature extraction over a deterministic synthetic
+    media table (decode stubbed; Spark plumbing real -- operators/multimodal.py)."""
+    media = multimodal.synth_media(spark, 300, seed=9)
+    return multimodal.extract_image_features(media)
+
+
+def q_media_video_frames(spark, sf):
+    """Multimodal: 1->N frame-sampling fan-out per video row."""
+    media = multimodal.synth_media(spark, 300, seed=9)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_ts_ms"),
+    )
 
 def q_pipeline_decisions(spark, sf):
     """Full reference-fidelity pipeline decision histogram over documents."""
     pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=False))
-    out = pipe.transform(_docs_as_pages(_docs(spark, sf)))
+    out = pipe.transform(_docs_as_pages(_docs(spark, sf, spread=True)))
     return drop_reason_histogram(out).orderBy("decision")
 
 
 def q_pipeline_clean_sample(spark, sf):
     """Byte-stable scrubbed output hashes for kept docs (fidelity witness)."""
     pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=False))
-    out = pipe.transform(_docs_as_pages(_docs(spark, sf)))
+    out = pipe.transform(_docs_as_pages(_docs(spark, sf, spread=True)))
     return (
         out.where("keep")
         .select("url", F.md5("clean_text").alias("clean_md5"))
@@ -354,7 +418,7 @@ def q_pipeline_clean_sample(spark, sf):
 
 def q_langid_histogram(spark, sf):
     """Langid over raw docs vs ground-truth lang: confusion counts."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return (
         d.select("lang", udfs.langid_label_udf("text").alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -364,7 +428,7 @@ def q_langid_histogram(spark, sf):
 
 def q_perplexity_stats(spark, sf):
     """Char-bigram LM perplexity distribution per lang."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     return d.select("lang", udfs.perplexity_udf("text").alias("ppx")).groupBy("lang").agg(
         F.round(F.avg("ppx"), 2).alias("avg_ppx"),
         F.round(F.min("ppx"), 2).alias("min_ppx"),
@@ -373,14 +437,14 @@ def q_perplexity_stats(spark, sf):
 
 def q_minhash_dedup_count(spark, sf):
     """MinHash-LSH near-dup survivors count by lang."""
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, spread=True)
     kept = dedup.minhash_dedup(d, threshold=0.9)
     return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
 def q_simhash_pairs(spark, sf):
     """SimHash near-dup pairs (hamming <= 3)."""
-    return dedup.simhash_near_duplicates(_docs(spark, sf), max_hamming=3)
+    return dedup.simhash_near_duplicates(_docs(spark, sf, spread=True), max_hamming=3)
 
 
 def q_knn_lsh(spark, sf):
@@ -398,7 +462,7 @@ def q_embedding_near_dups(spark, sf):
 def q_classify_periods(spark, sf):
     """C1/C2: period/genre classification histogram over documents."""
     pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=True))
-    out = pipe.transform(_docs_as_pages(_docs(spark, sf)))
+    out = pipe.transform(_docs_as_pages(_docs(spark, sf, spread=True)))
     return out.groupBy("period", "genre").agg(F.count("*").alias("n_docs"))
 
 
@@ -429,7 +493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": q_orders_by_segment,
         "knn_bruteforce": q_knn_bruteforce,
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
+        "html_extract": q_html_extract,
         # non-SQL-expressible (rows-only)
+        "toxicity_stats": q_toxicity_stats,
+        "media_image_features": q_media_image_features,
+        "media_video_frames": q_media_video_frames,
         "pipeline_decisions": q_pipeline_decisions,
         "pipeline_clean_sample": q_pipeline_clean_sample,
         "langid_histogram": q_langid_histogram,
@@ -628,6 +696,16 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "html_extract": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                         l -> trim(regexp_replace(l, '[ \\t\\r\\f\\v]+', ' ', 'g'), ' ')),
+                       l -> l <> ''),
+                     chr(10))) AS extracted_md5
+            FROM documents
         """,
         "ngram_jaccard_near_dups": """
             WITH grams AS (

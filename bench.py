@@ -109,6 +109,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # North-rule headline: full web-mode pipeline throughput in docs/sec.
+    # Tuned for the UDF-chain job (see bench_scaling.py docstring): small
+    # Arrow batches overlap JVM<->Python transfer with compute; AQE's
+    # stage-wise materialization only adds latency to this shuffle-free job.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     path = pages_parquet(PAGES_ROWS)
     pages = spark.read.parquet(path).repartition(2 * CPUS)
     pipe = QualityFilterPipeline(

@@ -1,0 +1,103 @@
+"""HTML->text extraction and multimodal plumbing tests."""
+
+import pandas as pd
+import pytest
+
+from wikisource_latin_text_cleaner_spark.functions import html as H
+from wikisource_latin_text_cleaner_spark.operators import multimodal as MM
+
+
+# -- pure-python extractor ---------------------------------------------------
+
+def test_html_basic_strip():
+    raw = b"<html><body><p>Salve  munde</p><div>alter   versus</div></body></html>"
+    assert H.html_to_text(raw) == "Salve munde\nalter versus"
+
+
+def test_html_script_style_comment_dropped():
+    raw = (b"<style>p{color:red}</style><script>var x=1;</script>"
+           b"<!-- hidden -->\n<p>textus</p>")
+    assert H.html_to_text(raw) == "textus"
+
+
+def test_html_entities_unescaped():
+    assert H.html_to_text(b"<p>a &amp; b &lt;c&gt; &quot;d&quot;</p>") == 'a & b <c> "d"'
+
+
+def test_html_inline_tags_no_newline():
+    assert H.html_to_text(b"<p><b>fortis</b> <i>miles</i></p>") == "fortis miles"
+
+
+def test_html_empty_and_none():
+    assert H.html_to_text(b"") == ""
+    assert H.html_to_text(None) == ""
+
+
+def test_html_escape_round_trip():
+    text = "prima linea\nsecunda  cum   spatiis\n\n& <tag> finis"
+    expected = "prima linea\nsecunda cum spatiis\n& <tag> finis"
+    assert H.html_to_text(H.escape_text_as_html(text).encode()) == expected
+
+
+def test_html_udf_over_synth_corpus(spark):
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    pages = synth.pages_dataframe(spark, 50, seed=11, partitions=4)
+    out = pages.select(H.html_to_text_udf("html").alias("extracted")).collect()
+    assert len(out) == 50
+    # synth html wraps the text body; extraction must recover real content
+    assert all(r.extracted for r in out)
+    # deterministic across runs
+    out2 = pages.select(H.html_to_text_udf("html").alias("extracted")).collect()
+    assert [r.extracted for r in out] == [r.extracted for r in out2]
+
+
+# -- multimodal --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.synth_media(spark, 60, seed=5).cache()
+
+
+def test_media_schema(media):
+    assert set(media.columns) == {"doc_id", "media_type", "payload", "meta"}
+    assert media.count() == 60
+
+
+def test_image_features(media):
+    feats = MM.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == media.where("media_type = 'image'").count()
+    assert feats.columns == ["doc_id", "width", "height", "n_bytes", "mean_luma", "phash"]
+    for r in rows:
+        assert 64 <= r.width <= 255 and 64 <= r.height <= 255
+        assert 0.0 <= r.mean_luma <= 1.0
+        assert r.n_bytes > 0
+    # determinism: same payload -> same features
+    again = {r.doc_id: (r.width, r.height, r.phash) for r in MM.extract_image_features(media).collect()}
+    assert all(again[r.doc_id] == (r.width, r.height, r.phash) for r in rows)
+
+
+def test_audio_features(media):
+    rows = MM.extract_audio_features(media).collect()
+    assert len(rows) == media.where("media_type = 'audio'").count()
+    for r in rows:
+        assert r.duration_ms >= 1000 and r.sample_rate in (8000, 16000, 44100)
+        assert 0.0 <= r.rms <= 255.0
+
+
+def test_video_frame_fanout(media):
+    frames = MM.sample_video_frames(media, every_ms=1000)
+    pdf = frames.toPandas()
+    vids = media.where("media_type = 'video'").select("doc_id", "meta.duration_ms").collect()
+    expected = sum(max(1, v.duration_ms // 1000) for v in vids)
+    assert len(pdf) == expected
+    # per-video frame indices are dense from 0
+    for doc_id, grp in pdf.groupby("doc_id"):
+        assert sorted(grp.frame_idx) == list(range(len(grp)))
+        assert all(grp.frame_ts_ms == grp.frame_idx * 1000)
+
+
+def test_decode_real_path_is_guarded():
+    with pytest.raises(NotImplementedError):
+        MM._decode_image_real(b"xx")

@@ -263,8 +263,15 @@ def pages_dataframe(spark, n_rows: int, seed: int = 42, partitions: int | None =
     return df.repartition(partitions) if partitions else df
 
 
-def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> None:
-    """Write the corpus to parquet via pyarrow (no Spark needed)."""
+def write_pages_parquet(
+    path: str, n_rows: int, seed: int = 42, row_group_size: int = 8192
+) -> None:
+    """Write the corpus to parquet via pyarrow (no Spark needed).
+
+    Small row groups keep the file splittable: a Spark scan parallelizes at
+    row-group granularity, so one big row group would serialize the read no
+    matter how many cores are available.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -276,4 +283,4 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42) -> None:
         "text": [r.text for r in rows],
         "lang": [r.lang for r in rows],
     })
-    pq.write_table(table, path)
+    pq.write_table(table, path, row_group_size=row_group_size)

@@ -1,0 +1,68 @@
+"""Structured Streaming facade over the quality-filter pipeline.
+
+The reference is strictly batch (SURVEY.md §2.9: no streaming anywhere), and
+the engine's primary mode stays batch-with-checkpoints. But the pipeline
+transform is a stateless per-row map/filter chain, so the SAME
+QualityFilterPipeline.transform applies unchanged to a streaming DataFrame —
+this module is the thin wiring for continuous ingestion (e.g. a WARC-drop
+directory on a crawl frontier):
+
+    readStream(parquet dir) -> pipeline.transform -> writeStream(parquet)
+
+Exactly-once at file granularity comes from the sink checkpoint (offsets +
+commit log), which complements the batch-side bucket checkpoints
+(plans/checkpoints.py). No watermarks/stateful operators are needed — there
+is no aggregation in the stream; metrics remain a batch query over the
+output table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.pipeline import PipelineConfig, QualityFilterPipeline
+from ..sources.synth import PAGES_SCHEMA_DDL
+
+
+def stream_pages(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    config: PipelineConfig | None = None,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuously filter pages parquet files landing in ``input_dir``.
+
+    ``available_now=True`` drains the current backlog then stops (the batch
+    parity mode used by tests); ``False`` keeps tailing the directory.
+    Output is partitioned by ``keep`` so downstream consumers prune
+    quarantined rows at scan time (same layout as the batch sink).
+    """
+    pipe = QualityFilterPipeline(config)
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    from pyspark.sql import functions as F
+
+    # Partition on a derived STRING copy of `keep`: a bare partitionBy("keep")
+    # would hoist the boolean into the directory name and read back as a
+    # string (partition-type inference covers only numeric/date), silently
+    # changing the schema vs the batch path.
+    out = pipe.transform(pages).withColumn(
+        "kept_partition", F.col("keep").cast("string")
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("kept_partition")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
