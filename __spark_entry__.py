@@ -330,14 +330,8 @@ def q_ngram_jaccard_near_dups(spark, sf):
     Candidates: docs sharing a fingerprint prefix bucket (cheap blocking);
     verification is exact and SQL-expressible, so this one HAS an oracle.
     """
-    d = _docs(spark, sf).select("doc_id", "text")
-    block = d.withColumn("blk", F.substring(textstats.fingerprint_col(F.col("text")), 1, 2))
-    a = block.select(F.col("blk"), F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
-    b = block.select(F.col("blk"), F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
-    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-    return dedup.ngram_jaccard_pairs(
-        d, pairs, text_col="text", id_col="doc_id", n=3, threshold=0.8
-    )
+    d = _docs(spark, sf, spread=True).select("doc_id", "text")
+    return dedup.ngram_jaccard_blocked(d, n=3, threshold=0.8, prefix_len=2)
 
 
 def q_html_extract(spark, sf):

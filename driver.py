@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Production driver: spark-submit entry point for the quality-filter pipeline.
+
+Cluster launch (north_rule):
+
+    zip -r pipeline.zip wikisource_latin_text_cleaner_spark
+    spark-submit --py-files pipeline.zip driver.py \\
+        --input  <pages parquet dir or Iceberg table> \\
+        --output <output dir/table> \\
+        --mode web --resume --buckets 256
+
+Local smoke (same code path; spark-submit not required):
+
+    python driver.py --input .bench/pages_2000.parquet --output /tmp/out \\
+        --master "local[8]"
+
+Stages (one declarative DataFrame chain, SURVEY.md §3.4): read -> [salted
+repartition] -> verdict/scrub Arrow UDF -> langid/perplexity/PII gates ->
+bucket-checkpointed write (quarantine rows kept, never deleted) -> metrics
+append. Resume (--resume) skips buckets whose manifest rows exist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="web-text quality-filter pipeline")
+    p.add_argument("--input", required=True, help="pages parquet dir or table name")
+    p.add_argument("--output", required=True, help="output dir or table name")
+    p.add_argument("--mode", choices=("reference", "web"), default="web",
+                   help="reference = byte-fidelity scrub+gates only; "
+                        "web = + langid, perplexity, PII scrub, Gopher rules")
+    p.add_argument("--min-size", type=int, default=200,
+                   help="min raw doc bytes (ref step1 --min-size)")
+    p.add_argument("--allowed-langs", default="la",
+                   help="comma-separated langid allowlist (web mode)")
+    p.add_argument("--perplexity-threshold", type=float, default=None,
+                   help="drop docs above this char-bigram perplexity")
+    p.add_argument("--salt-partitions", type=int, default=0,
+                   help="salted-repartition width for domain skew (0 = off)")
+    p.add_argument("--buckets", type=int, default=64,
+                   help="checkpoint bucket count (resume granularity)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip buckets already marked complete in the manifest")
+    p.add_argument("--no-classify", action="store_true",
+                   help="skip period/genre classification columns")
+    p.add_argument("--master", default=None,
+                   help="override spark master (default: from spark-submit)")
+    p.add_argument("--metrics", default=None,
+                   help="metrics table/dir (default: <output>/metrics)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from wikisource_latin_text_cleaner_spark import catalog
+    from wikisource_latin_text_cleaner_spark.functions import rules
+    from wikisource_latin_text_cleaner_spark.operators.pipeline import (
+        PipelineConfig,
+        QualityFilterPipeline,
+    )
+    from wikisource_latin_text_cleaner_spark.plans import checkpoints
+
+    builder = SparkSession.builder.appName("wltc-quality-filter")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # small Arrow batches overlap JVM<->Python transfer with UDF compute
+        # in the chained-ArrowEvalPython stage (see bench_scaling.py)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .getOrCreate()
+    )
+
+    web = args.mode == "web"
+    cfg = PipelineConfig(
+        min_size_bytes=args.min_size,
+        extensions=rules.ExtensionConfig() if web else None,
+        classify=not args.no_classify,
+        langid=web,
+        allowed_langs=tuple(args.allowed_langs.split(",")),
+        perplexity_threshold=args.perplexity_threshold,
+        pii_scrub=web,
+        salt_partitions=args.salt_partitions,
+    )
+    pipe = QualityFilterPipeline(cfg)
+    pages = catalog.read_table(spark, args.input)
+
+    t0 = time.time()
+    if args.resume or args.buckets:
+        n_run = checkpoints.run_resumable(
+            pipe.transform, pages, args.output, n_buckets=args.buckets
+        )
+        out = checkpoints.read_output(spark, args.output)
+    else:
+        out = pipe.transform(pages)
+        out.write.mode("overwrite").parquet(args.output)
+        out = catalog.read_table(spark, args.output)
+        n_run = -1
+
+    metrics = pipe.metrics(out)
+    catalog.append(metrics, args.metrics or f"{args.output.rstrip('/')}/metrics")
+
+    stats = {
+        r["k"]: r["n"]
+        for r in out.groupBy(out.keep.cast("string").alias("k"))
+        .count().withColumnRenamed("count", "n").collect()
+    }
+    elapsed = time.time() - t0
+    total = sum(stats.values())
+    print(json.dumps({
+        "docs_in": total,
+        "docs_kept": stats.get("true", 0),
+        "docs_quarantined": stats.get("false", 0),
+        "buckets_run": n_run,
+        "sec": round(elapsed, 2),
+        "docs_per_sec": round(total / elapsed, 1) if elapsed else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -244,6 +244,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_blocked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Exact word n-gram Jaccard pairs with fingerprint-prefix blocking.
+
+    One-pass variant of ngram_jaccard_pairs for hash-block candidates: grams
+    are computed once per doc and carried straight through a single
+    (block-key) self-join -- no join-back of the gram arrays to a separate
+    pair list, so the pair set never shuffles twice. The block key is the
+    first ``prefix_len`` hex chars of the md5 fingerprint (16^prefix_len
+    buckets, ~uniform, so the self-join is skew-free by construction).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams_col = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(fp, 1, prefix_len).alias("blk"),
+        grams_col.alias("grams"),
+    )
+    a = g.select("blk", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = g.select("blk", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # -- embedding-cosine near-dup ------------------------------------------------
 
 def embedding_near_duplicates(

@@ -51,6 +51,8 @@ def run_resumable(
     """
     spark = pages.sparkSession
     done = completed_buckets(spark, out_dir)
+    if len(done) >= n_buckets:
+        return 0
     bucketed = with_bucket(pages, n_buckets)
     todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
 
