@@ -79,7 +79,10 @@ def _sub_all(text: str, battery) -> str:
         if guards:
             if low is None:
                 low = text.lower()
-            if not any(g in low for g in guards):
+            if len(guards) == 1:  # fast path: most rules have one guard
+                if guards[0] not in low:
+                    continue
+            elif not any(g in low for g in guards):
                 continue
         text, n = pat.subn(repl, text)
         if n:
@@ -176,7 +179,10 @@ PRAENOMINA = (
 _COMMON_PRAENOMINA = frozenset(("M\\.", "L\\.", "C\\.", "P\\.", "Q\\."))
 
 _PRAENOMEN_PATTERNS = tuple(
-    (frag, full, re.compile(r"\b" + frag + r"(?=\s[A-Z])")) for frag, full in PRAENOMINA
+    # 4th element: the literal any match must contain (patterns are
+    # case-sensitive), so unaffected documents skip all 21 finditer scans
+    (frag, full, re.compile(r"\b" + frag + r"(?=\s[A-Z])"), frag.replace("\\", ""))
+    for frag, full in PRAENOMINA
 )
 
 #: Gender-context word lists (ref: step3_clean_content.py:112-120)
@@ -283,6 +289,13 @@ def _drop_attributions(text: str) -> str:
             break
         kept.append(ln)
     text = _sub_all("\n".join(kept), _ATTRIBUTION_BATTERY)
+    # whole-document pre-check: the per-line scan only runs when some
+    # artifact substring occurs at all (same skip-if-absent reasoning as
+    # the _sub_all guards; .strip() cannot create a substring match that
+    # the unstripped lowered document lacks)
+    low_all = text.lower()
+    if not any(s in low_all for s in ARTIFACT_SUBSTRINGS):
+        return text
     return "\n".join(
         ln for ln in text.split("\n")
         if not any(s in ln.lower().strip() for s in ARTIFACT_SUBSTRINGS)
@@ -291,6 +304,8 @@ def _drop_attributions(text: str) -> str:
 
 def _drop_non_latin_lines(text: str) -> str:
     # ref: step3_clean_content.py:234-278; note output lines are stripped
+    # (same whole-document pre-check reasoning as _drop_attributions)
+    check_modern = any(ind in text.lower() for ind in MODERN_SUBSTRINGS)
     out = []
     for ln in text.split("\n"):
         s = ln.strip()
@@ -299,8 +314,7 @@ def _drop_non_latin_lines(text: str) -> str:
             continue
         if s.startswith(MARKUP_PREFIXES):
             continue
-        low = s.lower()
-        if any(ind in low for ind in MODERN_SUBSTRINGS):
+        if check_modern and any(ind in s.lower() for ind in MODERN_SUBSTRINGS):
             continue
         out.append(s)
     return "\n".join(out)
@@ -351,7 +365,9 @@ def _expand_abbreviations(text: str) -> str:
     # standard rules first (ref step3:370-382), then contextual praenomina
     # (ref step3:336-368)
     text = _sub_all(text, ABBREVIATION_RULES)
-    for frag, full, pat in _PRAENOMEN_PATTERNS:
+    for frag, full, pat, lit in _PRAENOMEN_PATTERNS:
+        if lit not in text:
+            continue
         for m in reversed(list(pat.finditer(text))):
             if _is_roman(m.group(0).replace(".", "")):
                 continue
@@ -612,6 +628,24 @@ DIACRITIC_MAP = str.maketrans({
     "Ą": "a", "Ę": "e", "Į": "i", "Ų": "u",
 })
 
+class _NFDStripTable(dict):
+    """Memoizing translate table for NFD-decompose + drop-Mn: each codepoint
+    maps to its decomposition minus combining marks, computed once. Per-char
+    memoization is exact for this use because every Mn char is DELETED --
+    canonical reordering (which only permutes adjacent combining marks)
+    cannot change the result."""
+
+    def __missing__(self, cp: int) -> str:
+        r = "".join(
+            c for c in unicodedata.normalize("NFD", chr(cp))
+            if unicodedata.category(c) != "Mn"
+        )
+        self[cp] = r
+        return r
+
+
+_NFD_STRIP_TABLE = _NFDStripTable()
+
 #: Ligature folds (ref: step5:203-224); '&' -> 'et' is part of this table.
 LIGATURE_PAIRS = (
     ("æ", "ae"), ("Æ", "ae"), ("œ", "oe"), ("Œ", "oe"),
@@ -661,10 +695,7 @@ def stage_orthography(text: str) -> str:
     """
     text = _sub_all(text, VARIANT_RULES)
     text = text.translate(DIACRITIC_MAP)
-    text = "".join(
-        ch for ch in unicodedata.normalize("NFD", text)
-        if unicodedata.category(ch) != "Mn"
-    )
+    text = text.translate(_NFD_STRIP_TABLE)
     for a, b in LIGATURE_PAIRS:
         text = text.replace(a, b)
     for a, b in MEDIEVAL_PAIRS:
