@@ -110,6 +110,26 @@ class QualityFilterPipeline:
             )
         return df
 
+    def observed(self, transformed: DataFrame, name: str = "quality_filter"):
+        """Attach driver-visible counters to the frame (ref A4/S10: the
+        running stats the reference's DetailedProgressLogger accumulated,
+        Text Cleaner/detailed_progress_logger.py:33-47). ``df.observe``
+        rides the existing job -- the counters cost no extra pass, unlike
+        ``metrics()`` which is a separate (tiny) aggregation.
+
+        Returns (df, observation); read ``observation.get`` after an action.
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        df = transformed.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+            F.sum(F.length("clean_text")).alias("clean_chars"),
+        )
+        return df, obs
+
     def metrics(self, transformed: DataFrame) -> DataFrame:
         """Per-partition lineage counters (SURVEY.md §4.3-3): one row per
         (partition_id, rule) plus a `_partition_total` row per partition --
