@@ -361,6 +361,14 @@ def q_html_extract(spark, sf):
 # ---- non-SQL-expressible ops (rows-only driver check) ----------------------
 
 
+def q_winnowing_pairs(spark, sf):
+    """Rolling-hash winnowing fingerprints (Schleimer et al. 2003): pairs
+    with fingerprint containment >= 0.5. Rows-only (positional rolling hash is not
+    reasonably SQL-expressible)."""
+    d = _docs(spark, sf, spread=True)
+    return dedup.winnowing_near_duplicates(d, min_containment=0.5)
+
+
 def q_toxicity_stats(spark, sf):
     """Toxicity lexicon gate stats (functions/pii.py; unicode \\w semantics
     differ from RE2 so no SQL oracle -- rows-only)."""
@@ -495,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
         "html_extract": q_html_extract,
         # non-SQL-expressible (rows-only)
+        "winnowing_pairs": q_winnowing_pairs,
         "toxicity_stats": q_toxicity_stats,
         "media_image_features": q_media_image_features,
         "media_video_frames": q_media_video_frames,

@@ -130,3 +130,53 @@ def test_embedding_near_duplicates(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = dedup.embedding_near_duplicates(df, threshold=0.99).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+
+# -- winnowing ---------------------------------------------------------------
+
+def test_winnow_shared_substring_guarantee():
+    """Any shared substring of length >= k + window - 1 must yield a shared
+    fingerprint (the winnowing paper's core guarantee)."""
+    from wikisource_latin_text_cleaner_spark.operators.dedup import _winnow
+
+    shared = "lorem ipsum dolor sit amet consectetur"
+    a = "PREFIX AAA " + shared + " SUFFIX BBB"
+    b = "other text here " + shared + " different tail"
+    fa, fb = set(_winnow(a)), set(_winnow(b))
+    assert fa & fb, "shared substring produced no shared fingerprint"
+
+
+def test_winnow_empty_and_short():
+    from wikisource_latin_text_cleaner_spark.operators.dedup import _winnow
+
+    assert _winnow("") == []
+    assert _winnow("abc") == []          # shorter than k
+    assert len(_winnow("abcdef")) == 1   # one window
+
+
+def test_winnowing_near_duplicates_finds_planted_pair(spark):
+    from wikisource_latin_text_cleaner_spark.operators import dedup
+
+    base = "et in de ad cum ex pro per ab rex deus homo populus senatus " * 20
+    rows = [
+        (1, base + " cauda prima"),
+        (2, base + " cauda secunda"),     # near-dup of 1
+        (3, "completely different text with other words entirely " * 15),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.winnowing_near_duplicates(df, min_containment=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_identical_tiny_vocab_docs_pair(spark):
+    """Containment scoring catches identical docs even when a repetitive
+    vocabulary winnows to very few distinct fingerprints."""
+    from wikisource_latin_text_cleaner_spark.operators import dedup
+
+    rows = [(i, "verbum " * 100) for i in range(3)] + [(9, "alia res omnino " * 80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.winnowing_near_duplicates(df, max_df=None).collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
