@@ -135,3 +135,20 @@ def test_pii_scrub(spark):
     out = df.select(udfs.pii_udf("text").alias("p")).select("p.*").collect()[0]
     assert "<EMAIL>" in out["text"] and "<URL>" in out["text"] and "<NUMBER>" in out["text"]
     assert out["pii_spans"] == 3
+
+
+def test_fused_equals_chained(spark, pages_df):
+    """The single-pass fused UDF path is row-identical to the composable
+    chained-UDF path for the same config."""
+    from pyspark.sql import functions as F
+
+    from wikisource_latin_text_cleaner_spark.functions import rules
+
+    kw = dict(extensions=rules.ExtensionConfig(), classify=True, langid=True,
+              perplexity_threshold=1e9, pii_scrub=True)
+    a = QualityFilterPipeline(PipelineConfig(fused=True, **kw)).transform(pages_df)
+    b = QualityFilterPipeline(PipelineConfig(fused=False, **kw)).transform(pages_df)
+    assert a.columns == b.columns
+    fix = lambda df: df.withColumn("drop_reasons", F.concat_ws("|", "drop_reasons"))  # noqa: E731
+    assert fix(a).exceptAll(fix(b)).count() == 0
+    assert fix(b).exceptAll(fix(a)).count() == 0

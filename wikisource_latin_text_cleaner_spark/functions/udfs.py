@@ -122,3 +122,81 @@ def pii_udf(texts: pd.Series) -> pd.DataFrame:
 @pandas_udf(DoubleType())
 def toxicity_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: pii.toxicity_score(t or ""))
+
+
+FUSED_SCHEMA = StructType([
+    StructField("keep", BooleanType()),
+    StructField("drop_reasons", ArrayType(StringType())),
+    StructField("clean_text", StringType()),
+    StructField("period", StringType()),
+    StructField("genre", StringType()),
+    StructField("confidence", StringType()),
+    StructField("lang_pred", StringType()),
+    StructField("lang_margin", DoubleType()),
+    StructField("ppx", DoubleType()),
+    StructField("pii_spans", IntegerType()),
+])
+
+
+def make_fused_udf(
+    min_size_bytes: int = rules.MIN_SIZE_BYTES,
+    extensions: rules.ExtensionConfig | None = None,
+    classify_on: bool = True,
+    langid_on: bool = True,
+    allowed_langs: tuple = ("la",),
+    ppx_threshold: float | None = None,
+    pii_on: bool = False,
+):
+    """Single-pass UDF computing the whole per-document pipeline.
+
+    Equivalent by construction (and by differential test) to the chained
+    verdict -> classify -> langid -> perplexity -> pii UDF pipeline, but the
+    document text crosses the JVM<->Python Arrow boundary exactly once and
+    only one Python worker pool is needed, instead of two chained
+    ArrowEvalPython stages. Fields for disabled components are null.
+    """
+
+    @pandas_udf(FUSED_SCHEMA)
+    def fused_udf(texts: pd.Series) -> pd.DataFrame:
+        out: dict = {k: [] for k in (
+            "keep", "drop_reasons", "clean_text", "period", "genre",
+            "confidence", "lang_pred", "lang_margin", "ppx", "pii_spans",
+        )}
+        for t in texts:
+            v = rules.evaluate_document(t, min_size_bytes, extensions)
+            keep, reasons, cleaned = v.keep, list(v.drop_reasons), v.clean_text
+            period = genre = conf = None
+            if classify_on:
+                c = classify.classify_document(t or "")
+                period, genre, conf = c["period"], c["genre"], c["confidence"]
+            lang_pred, lang_margin = None, None
+            if langid_on:
+                lang_pred, lang_margin = langid.predict(cleaned or "")
+                if keep and lang_pred not in allowed_langs:
+                    reasons.append("langid")
+                    keep = False
+            px = None
+            if ppx_threshold is not None:
+                px = perplexity.perplexity(cleaned or "")
+                if keep and px > ppx_threshold:
+                    reasons.append("perplexity")
+                    keep = False
+            spans = None
+            if pii_on:
+                scrubbed, counts = pii.scrub_pii(cleaned or "")
+                spans = sum(counts.values())
+                if keep:
+                    cleaned = scrubbed
+            out["keep"].append(keep)
+            out["drop_reasons"].append(reasons)
+            out["clean_text"].append(cleaned)
+            out["period"].append(period)
+            out["genre"].append(genre)
+            out["confidence"].append(conf)
+            out["lang_pred"].append(lang_pred)
+            out["lang_margin"].append(lang_margin)
+            out["ppx"].append(px)
+            out["pii_spans"].append(spans)
+        return pd.DataFrame(out)
+
+    return fused_udf

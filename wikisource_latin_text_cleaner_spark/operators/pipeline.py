@@ -37,6 +37,10 @@ class PipelineConfig:
     pii_scrub: bool = False
     #: 0 disables the salted repartition (use when input partitioning is fine)
     salt_partitions: int = 0
+    #: single-pass UDF (one ArrowEvalPython stage, text crosses the Arrow
+    #: boundary once) vs the composable chained-UDF path; same output by
+    #: differential test
+    fused: bool = True
 
 
 class QualityFilterPipeline:
@@ -56,6 +60,9 @@ class QualityFilterPipeline:
         df = pages.select("url", "warc_ts", "text", "lang")
         if cfg.salt_partitions:
             df = salted_repartition(df, "url", cfg.salt_partitions)
+
+        if cfg.fused:
+            return self._transform_fused(df)
 
         verdict_udf = udfs.make_verdict_udf(cfg.min_size_bytes, cfg.extensions)
         df = df.withColumn("verdict", verdict_udf("text"))
@@ -109,6 +116,39 @@ class QualityFilterPipeline:
                 .drop("pii")
             )
         return df
+
+    def _transform_fused(self, df: DataFrame) -> DataFrame:
+        """One ArrowEvalPython stage for the whole per-document pipeline;
+        output columns identical to the chained path for the same config."""
+        cfg = self.config
+        fused = udfs.make_fused_udf(
+            min_size_bytes=cfg.min_size_bytes,
+            extensions=cfg.extensions,
+            classify_on=cfg.classify,
+            langid_on=cfg.langid,
+            allowed_langs=tuple(cfg.allowed_langs),
+            ppx_threshold=cfg.perplexity_threshold,
+            pii_on=cfg.pii_scrub,
+        )
+        df = df.withColumn("v", fused("text"))
+        cols = [
+            "url", "warc_ts", "lang",
+            F.col("v.keep").alias("keep"),
+            F.col("v.drop_reasons").alias("drop_reasons"),
+            F.col("v.clean_text").alias("clean_text"),
+        ]
+        if cfg.classify:
+            cols += [F.col("v.period").alias("period"),
+                     F.col("v.genre").alias("genre"),
+                     F.col("v.confidence").alias("confidence")]
+        if cfg.langid:
+            cols += [F.col("v.lang_pred").alias("lang_pred"),
+                     F.col("v.lang_margin").alias("lang_margin")]
+        if cfg.perplexity_threshold is not None:
+            cols.append(F.col("v.ppx").alias("ppx"))
+        if cfg.pii_scrub:
+            cols.append(F.col("v.pii_spans").alias("pii_spans"))
+        return df.select(*cols)
 
     def observed(self, transformed: DataFrame, name: str = "quality_filter"):
         """Attach driver-visible counters to the frame (ref A4/S10: the
