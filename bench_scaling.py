@@ -22,10 +22,10 @@ identical job measured 11.4k docs/s in one window and 5.1k in another. So:
     raw numbers are published.
 
 Spark config for the timed job (differs from defaults deliberately):
-  - arrow.maxRecordsPerBatch=512: the transform chains two ArrowEvalPython
-    stages; small batches let JVM<->Python transfer overlap Python compute
-    (measured ~2x at 32 cores vs the 10k default, where a whole partition
-    is one batch and the chain serializes);
+  - arrow.maxRecordsPerBatch=512: small batches let JVM<->Python transfer
+    overlap Python compute (measured ~2x at 32 cores vs the 10k default
+    on the chained-UDF path; still beneficial for the fused single-stage
+    default);
   - AQE off for this job: the transform is a single shuffle-free stage per
     partition, AQE's stage-wise materialization only adds latency here
     (measured ~1.2-1.7x). AQE stays ON for the relational queries in
@@ -214,6 +214,9 @@ salting, operators/skew.py).
   engine runs the byte-identical composition at ~{best[N]['docs_per_sec']/N:,.0f}
   docs/sec/core — >1000x per core (golden + differential tests attest
   byte-fidelity).
+
+1M-document stress run + skew-defusal tables: `BENCH/STRESS.md` (kept in a
+separate file so re-running this harness never clobbers them).
 
 Reproduce: `python bench_scaling.py` (env `BENCH_SCALING_ROWS`,
 `BENCH_SCALING_REPS` to resize).
