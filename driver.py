@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip buckets already marked complete in the manifest")
     p.add_argument("--no-classify", action="store_true",
                    help="skip period/genre classification columns")
+    p.add_argument("--html-fallback", action="store_true",
+                   help="derive text from the html column when text is null")
     p.add_argument("--master", default=None,
                    help="override spark master (default: from spark-submit)")
     p.add_argument("--metrics", default=None,
@@ -91,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         perplexity_threshold=args.perplexity_threshold,
         pii_scrub=web,
         salt_partitions=args.salt_partitions,
+        html_fallback=args.html_fallback,
     )
     pipe = QualityFilterPipeline(cfg)
     pages = catalog.read_table(spark, args.input)

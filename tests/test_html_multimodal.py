@@ -101,3 +101,36 @@ def test_video_frame_fanout(media):
 def test_decode_real_path_is_guarded():
     with pytest.raises(NotImplementedError):
         MM._decode_image_real(b"xx")
+
+
+def test_pipeline_html_fallback(spark):
+    """Rows with null text derive it from the html column; rows with text
+    are untouched; rows with neither drop as null_text."""
+    from pyspark.sql import functions as F
+
+    from wikisource_latin_text_cleaner_spark.operators.pipeline import (
+        PipelineConfig,
+        QualityFilterPipeline,
+    )
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    pages = synth.pages_dataframe(spark, 60, seed=13, partitions=4)
+    # null out text for half the rows (html still carries the content)
+    mixed = pages.withColumn(
+        "text", F.when(F.pmod(F.xxhash64("url"), F.lit(2)) == 0, F.col("text"))
+    ).union(
+        spark.createDataFrame(
+            [("u-none", None, None, None, "la")],
+            schema=synth.PAGES_SCHEMA_DDL,
+        )
+    )
+    pipe = QualityFilterPipeline(
+        PipelineConfig(langid=False, classify=False, html_fallback=True)
+    )
+    out = pipe.transform(mixed)
+    rows = {r.url: r for r in out.collect()}
+    assert rows["u-none"].drop_reasons == ["null_text"]
+    # every synth row got SOME text path (none dropped as null_text)
+    assert all(r.drop_reasons != ["null_text"] for u, r in rows.items() if u != "u-none")
+    # html-derived rows go through the same scrub; plenty survive
+    assert sum(1 for r in rows.values() if r.keep) > 10

@@ -41,6 +41,10 @@ class PipelineConfig:
     #: boundary once) vs the composable chained-UDF path; same output by
     #: differential test
     fused: bool = True
+    #: derive text from the html binary column when text is null (CC rows
+    #: often carry only the raw capture); the html column stays pruned from
+    #: the scan when this is off
+    html_fallback: bool = False
 
 
 class QualityFilterPipeline:
@@ -57,7 +61,24 @@ class QualityFilterPipeline:
         [, pii_spans]. Column pruning: only url/warc_ts/text/lang are read.
         """
         cfg = self.config
-        df = pages.select("url", "warc_ts", "text", "lang")
+        if cfg.html_fallback:
+            from ..functions.html import html_to_text_udf
+
+            # the UDF sees NULL payload for rows that already have text, so
+            # they pay no extraction; rows with neither stay NULL (null_text
+            # drop reason), not empty-string
+            extracted = html_to_text_udf(
+                F.when(F.col("text").isNull(), F.col("html"))
+            )
+            df = pages.select(
+                "url", "warc_ts",
+                F.coalesce(
+                    "text", F.when(F.col("html").isNotNull(), extracted)
+                ).alias("text"),
+                "lang",
+            )
+        else:
+            df = pages.select("url", "warc_ts", "text", "lang")
         if cfg.salt_partitions:
             df = salted_repartition(df, "url", cfg.salt_partitions)
 
