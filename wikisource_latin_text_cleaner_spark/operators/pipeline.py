@@ -96,6 +96,7 @@ class QualityFilterPipeline:
             F.col("verdict.keep").alias("keep"),
             F.col("verdict.drop_reasons").alias("drop_reasons"),
             F.col("verdict.clean_text").alias("clean_text"),
+            F.coalesce(F.length("text"), F.lit(0)).alias("_n_raw"),
             *(
                 (
                     F.col("cls.period").alias("period"),
@@ -136,7 +137,12 @@ class QualityFilterPipeline:
                 .withColumn("pii_spans", F.col("pii.pii_spans"))
                 .drop("pii")
             )
-        return df
+        # ref A4 counter: chars removed vs the FINAL clean text (post-PII),
+        # so both transform paths report identical numbers
+        return df.withColumn(
+            "chars_removed",
+            F.col("_n_raw") - F.coalesce(F.length("clean_text"), F.lit(0)),
+        ).drop("_n_raw")
 
     def _transform_fused(self, df: DataFrame) -> DataFrame:
         """One ArrowEvalPython stage for the whole per-document pipeline;
@@ -169,6 +175,12 @@ class QualityFilterPipeline:
             cols.append(F.col("v.ppx").alias("ppx"))
         if cfg.pii_scrub:
             cols.append(F.col("v.pii_spans").alias("pii_spans"))
+        # ref A4 counter, last column in both paths: chars removed vs the
+        # final clean text (detailed_progress_logger.py:158-186 analog)
+        cols.append(
+            (F.coalesce(F.length("text"), F.lit(0))
+             - F.coalesce(F.length("v.clean_text"), F.lit(0))).alias("chars_removed")
+        )
         return df.select(*cols)
 
     def observed(self, transformed: DataFrame, name: str = "quality_filter"):
@@ -204,14 +216,17 @@ class QualityFilterPipeline:
             .agg(F.count("*").alias("docs_dropped"))
             .withColumn("docs_in", F.lit(None).cast("long"))
             .withColumn("docs_out", F.lit(None).cast("long"))
+            .withColumn("chars_removed", F.lit(None).cast("long"))
         )
         totals = base.groupBy("partition_id").agg(
             F.count("*").alias("docs_in"),
             F.sum(F.col("keep").cast("long")).alias("docs_out"),
             (F.count("*") - F.sum(F.col("keep").cast("long"))).alias("docs_dropped"),
+            F.sum("chars_removed").alias("chars_removed"),
         ).withColumn("rule", F.lit("_partition_total"))
         return per_rule.unionByName(
-            totals.select("partition_id", "rule", "docs_dropped", "docs_in", "docs_out")
+            totals.select("partition_id", "rule", "docs_dropped", "docs_in",
+                          "docs_out", "chars_removed")
         )
 
     def run(self, pages: DataFrame) -> tuple[DataFrame, DataFrame]:
