@@ -31,6 +31,7 @@ from wikisource_latin_text_cleaner_spark.functions import html as htmlx  # noqa:
 from wikisource_latin_text_cleaner_spark.operators import (  # noqa: E402
     dedup,
     multimodal,
+    segment,
     similarity,
     textstats,
 )
@@ -363,7 +364,33 @@ def q_html_extract(spark, sf):
     )
 
 
+def q_char_chunks(spark, sf):
+    """Passage segmentation: fixed 512-char windows (pure Catalyst;
+    SQL-expressible, so oracle-checked)."""
+    d = _docs(spark, sf)
+    chunks = segment.fixed_char_chunks(d, width=512)
+    return chunks.select(
+        "doc_id", "chunk_idx",
+        F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5"),
+    )
+
+
+def q_vocabulary_top100(spark, sf):
+    """Corpus vocabulary: top-100 words by occurrence (with doc frequency)."""
+    return segment.vocabulary(_docs(spark, sf), top_n=100)
+
+
 # ---- non-SQL-expressible ops (rows-only driver check) ----------------------
+
+
+def q_sentence_chunks(spark, sf):
+    """Greedy sentence-boundary packing into <=128-token passages
+    (positional/stateful -> Arrow UDF, rows-only)."""
+    d = _docs(spark, sf, spread=True)
+    chunks = segment.sentence_packed_chunks(d, max_tokens=128)
+    return chunks.select(
+        "doc_id", "chunk_idx", F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5")
+    )
 
 
 def q_winnowing_pairs(spark, sf):
@@ -507,7 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
         "html_extract": q_html_extract,
+        "char_chunks": q_char_chunks,
+        "vocabulary_top100": q_vocabulary_top100,
         # non-SQL-expressible (rows-only)
+        "sentence_chunks": q_sentence_chunks,
         "winnowing_pairs": q_winnowing_pairs,
         "toxicity_stats": q_toxicity_stats,
         "media_image_features": q_media_image_features,
@@ -720,6 +750,26 @@ def oracle_sql() -> dict[str, str]:
                        l -> l <> ''),
                      chr(10))) AS extracted_md5
             FROM documents
+        """,
+        "char_chunks": """
+            SELECT doc_id, t.i AS chunk_idx,
+                   md5(substring(text, t.i * 512 + 1, 512)) AS chunk_md5
+            FROM documents,
+                 unnest(range(0,
+                   greatest(cast(ceil(length(text) / 512.0) AS INT), 1))) AS t(i)
+            WHERE length(substring(text, t.i * 512 + 1, 512)) > 0
+        """,
+        "vocabulary_top100": """
+            WITH words AS (
+              SELECT doc_id AS _doc, w.word
+              FROM documents,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      x -> x <> '')) AS w(word)
+            )
+            SELECT word, count(*) AS n_occurrences,
+                   count(DISTINCT _doc) AS n_docs
+            FROM words GROUP BY word
+            ORDER BY n_occurrences DESC, word ASC LIMIT 100
         """,
         "ngram_jaccard_near_dups": """
             WITH grams AS (
