@@ -383,6 +383,21 @@ def q_vocabulary_top100(spark, sf):
 # ---- non-SQL-expressible ops (rows-only driver check) ----------------------
 
 
+def q_bpe_token_stats(spark, sf):
+    """Learned-BPE token counts per lang: distributed word counts ->
+    driver-side merge training (broadcast-sized vocab) -> distributed
+    tokenization. Rows-only (iterative training isn't SQL)."""
+    from wikisource_latin_text_cleaner_spark.functions import bpe
+
+    d = _docs(spark, sf, spread=True)
+    merges = bpe.train_bpe(d, num_merges=100)
+    _, count_udf = bpe.make_bpe_udfs(merges)
+    return d.groupBy("lang").agg(
+        F.sum(count_udf("text")).alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def q_sentence_chunks(spark, sf):
     """Greedy sentence-boundary packing into <=128-token passages
     (positional/stateful -> Arrow UDF, rows-only)."""
@@ -538,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_top100": q_vocabulary_top100,
         # non-SQL-expressible (rows-only)
         "sentence_chunks": q_sentence_chunks,
+        "bpe_token_stats": q_bpe_token_stats,
         "winnowing_pairs": q_winnowing_pairs,
         "toxicity_stats": q_toxicity_stats,
         "media_image_features": q_media_image_features,
