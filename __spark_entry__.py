@@ -324,10 +324,9 @@ def q_knn_bruteforce(spark, sf):
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     # 4dp comparison surface: Spark's aggregate() fold and DuckDB's
     # list_dot_product differ by 1 ulp on some rows, which flips the 6th
-    # decimal after rounding
-    return similarity.brute_force_topk(e, _KNN_QUERY, k=10).withColumn(
-        "cosine", F.round("cosine", 4)
-    )
+    # decimal after rounding. round_to=4 makes the SELECTION (not just the
+    # display) use the agreed precision, so the top-k member set matches.
+    return similarity.brute_force_topk(e, _KNN_QUERY, k=10, round_to=4)
 
 
 def q_ngram_jaccard_near_dups(spark, sf):

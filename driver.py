@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -44,9 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt-partitions", type=int, default=0,
                    help="salted-repartition width for domain skew (0 = off)")
     p.add_argument("--buckets", type=int, default=64,
-                   help="checkpoint bucket count (resume granularity)")
+                   help="checkpoint bucket count (resume granularity); "
+                        "0 = flat single-shot write, no checkpointing")
     p.add_argument("--resume", action="store_true",
-                   help="skip buckets already marked complete in the manifest")
+                   help="skip buckets already marked complete in the manifest; "
+                        "without it a rerun recomputes everything from scratch")
     p.add_argument("--no-classify", action="store_true",
                    help="skip period/genre classification columns")
     p.add_argument("--html-fallback", action="store_true",
@@ -98,20 +101,37 @@ def main(argv: list[str] | None = None) -> int:
     pipe = QualityFilterPipeline(cfg)
     pages = catalog.read_table(spark, args.input)
 
+    from pyspark.sql import functions as F
+
     t0 = time.time()
-    if args.resume or args.buckets:
+    run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    if args.buckets >= 1:
+        # capture the manifest BEFORE the run so metrics can be scoped to
+        # exactly the buckets this invocation computed (appending
+        # full-output metrics on every resume would double-count documents)
+        pre_done = (
+            checkpoints.completed_buckets(spark, args.output)
+            if args.resume else set()
+        )
         n_run = checkpoints.run_resumable(
-            pipe.transform, pages, args.output, n_buckets=args.buckets
+            pipe.transform, pages, args.output, n_buckets=args.buckets,
+            resume=args.resume,
         )
         out = checkpoints.read_output(spark, args.output)
+        run_buckets = sorted(set(range(args.buckets)) - pre_done)
+        metrics_src = out.where(out.bucket.isin(run_buckets)) if n_run else None
     else:
-        out = pipe.transform(pages)
-        out.write.mode("overwrite").parquet(args.output)
-        out = catalog.read_table(spark, args.output)
+        flat = pipe.transform(pages)
+        # same <output>/data layout as the bucketed path, so the metrics
+        # table never nests inside the scanned dataset
+        flat.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+        out = checkpoints.read_output(spark, args.output)
+        metrics_src = out
         n_run = -1
 
-    metrics = pipe.metrics(out)
-    catalog.append(metrics, args.metrics or f"{args.output.rstrip('/')}/metrics")
+    if metrics_src is not None:
+        metrics = pipe.metrics(metrics_src).withColumn("run_ts", F.lit(run_ts))
+        catalog.append(metrics, args.metrics or f"{args.output.rstrip('/')}/metrics")
 
     stats = {
         r["k"]: r["n"]

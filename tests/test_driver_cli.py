@@ -39,3 +39,43 @@ def test_driver_run_and_resume(tmp_path):
     assert r2["buckets_run"] == 0
     assert (r2["docs_kept"], r2["docs_quarantined"]) == (
         r1["docs_kept"], r1["docs_quarantined"])
+
+
+def test_driver_no_resume_recomputes_and_metrics_not_doubled(tmp_path, spark):
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    inp = str(tmp_path / "pages.parquet")
+    synth.write_pages_parquet(inp, 300, seed=23)
+    outd = str(tmp_path / "out")
+    base = ["--input", inp, "--output", outd, "--mode", "web",
+            "--buckets", "4", "--master", "local[4]", "--no-classify"]
+
+    r1 = _run(base)                      # fresh, no --resume
+    assert r1["buckets_run"] == 4
+    r2 = _run(base)                      # STILL no --resume: must recompute
+    assert r2["buckets_run"] == 4
+    assert (r2["docs_kept"], r2["docs_quarantined"]) == (
+        r1["docs_kept"], r1["docs_quarantined"])
+    r3 = _run([*base, "--resume"])       # resume: nothing to do
+    assert r3["buckets_run"] == 0
+
+    m = spark.read.parquet(os.path.join(outd, "metrics"))
+    assert "run_ts" in m.columns
+    totals = m.where("rule = '_partition_total'")
+    # two fresh runs appended metrics; the no-op resume appended none
+    assert totals.groupBy().sum("docs_in").collect()[0][0] == 600
+
+
+def test_driver_flat_mode_output_layout(tmp_path, spark):
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    inp = str(tmp_path / "pages.parquet")
+    synth.write_pages_parquet(inp, 250, seed=29)
+    outd = str(tmp_path / "out")
+    r = _run(["--input", inp, "--output", outd, "--mode", "web",
+              "--buckets", "0", "--master", "local[4]", "--no-classify"])
+    assert r["buckets_run"] == -1 and r["docs_in"] == 250
+    # data and metrics live side by side; reading data never sees metrics
+    data = spark.read.parquet(os.path.join(outd, "data"))
+    assert data.count() == 250 and "rule" not in data.columns
+    assert spark.read.parquet(os.path.join(outd, "metrics")).count() > 0

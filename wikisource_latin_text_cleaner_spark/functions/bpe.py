@@ -113,6 +113,7 @@ def make_bpe_udfs(merges: list[tuple[str, str]]):
     encodings are memoized per Python worker."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     cache: dict[str, list[str]] = {}
+    _CACHE_CAP = 1 << 20  # bound per-worker memory on open-vocabulary corpora
 
     def encode_text(text: str) -> list[str]:
         out: list[str] = []
@@ -120,7 +121,8 @@ def make_bpe_udfs(merges: list[tuple[str, str]]):
             got = cache.get(w)
             if got is None:
                 got = _encode_word(w, ranks)
-                cache[w] = got
+                if len(cache) < _CACHE_CAP:
+                    cache[w] = got
             out.extend(got)
         return out
 

@@ -73,6 +73,12 @@ def scores_for_text(text: str) -> np.ndarray:
     buckets = _trigram_buckets(text or "")
     if buckets.size == 0:
         return np.zeros(len(LANGS))
+    if buckets.size > N_BUCKETS:
+        # long documents: the gather's (n_langs x n_trigrams) temporary
+        # would grow unbounded with text length; the dense bincount path is
+        # both smaller (fixed ~1 MB) and faster once n_trigrams > N_BUCKETS
+        counts = np.bincount(buckets, minlength=N_BUCKETS).astype(np.float64)
+        return (PROFILES @ counts) / buckets.size
     return PROFILES[:, buckets].sum(axis=1) / buckets.size
 
 

@@ -140,8 +140,14 @@ def winnowing_near_duplicates(
     on fingerprint (uniform keys, no skew) -> pair-count agg -> containment
     filter against per-doc fingerprint counts (two broadcastable joins).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: four consumers (stop-fp agg, sizes agg, both join sides)
+    # would otherwise re-run the winnow UDF per consumer (same reasoning as
+    # minhash_near_duplicates' persist_signatures)
     fps = df.select(F.col(id_col).alias("id"),
-                    F.explode(winnow_udf(text_col)).alias("fp"))
+                    F.explode(winnow_udf(text_col)).alias("fp")).persist(
+        StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         n_docs = df.count()
         # absolute floor of 5: a fingerprint in a handful of docs is the

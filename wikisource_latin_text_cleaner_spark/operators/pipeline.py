@@ -110,7 +110,7 @@ class QualityFilterPipeline:
 
         if cfg.langid:
             df = df.withColumn(
-                "lid", udfs.langid_udf(F.when(F.col("keep"), F.col("clean_text")).otherwise(F.col("clean_text")))
+                "lid", udfs.langid_udf("clean_text")
             ).select("*", F.col("lid.lang_pred").alias("lang_pred"),
                      F.col("lid.lang_margin").alias("lang_margin")).drop("lid")
             gate_fail = F.col("keep") & ~F.col("lang_pred").isin(*self.config.allowed_langs)

@@ -42,16 +42,21 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact cosine top-k; deterministic tie-break on id.
 
     This is a full-scan + TakeOrderedAndProject plan: no shuffle of the
-    vectors themselves, only k rows reach the driver.
+    vectors themselves, only k rows reach the driver. Selection orders on
+    the ROUNDED cosine (round_to), so an oracle re-implementation that
+    rounds before ranking selects the identical member set -- ordering on
+    full precision and rounding afterwards would let 1-ulp fold-order
+    differences flip membership at the k boundary.
     """
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cosine"),
+            F.round(cosine_similarity_col(F.col(vec_col), query), round_to).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)

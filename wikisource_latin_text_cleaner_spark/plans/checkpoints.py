@@ -44,14 +44,21 @@ def run_resumable(
     pages: DataFrame,
     out_dir: str,
     n_buckets: int = 64,
+    resume: bool = True,
 ) -> int:
     """Run `transform` over all not-yet-done buckets; returns #buckets run.
 
     `transform` is DataFrame -> DataFrame (e.g. QualityFilterPipeline.transform).
+
+    ``resume=False`` ignores any existing manifest, truncates the data dir
+    (static overwrite -- stale buckets from an older bucket scheme must not
+    survive) and rewrites the manifest from scratch.
     """
     spark = pages.sparkSession
-    done = completed_buckets(spark, out_dir)
-    if len(done) >= n_buckets:
+    done = completed_buckets(spark, out_dir) if resume else set()
+    # coverage check, not cardinality: a manifest written under a different
+    # n_buckets must not report this scheme complete
+    if resume and set(range(n_buckets)) <= done:
         return 0
     bucketed = with_bucket(pages, n_buckets)
     todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
@@ -61,19 +68,22 @@ def run_resumable(
 
     data_dir = os.path.join(out_dir, "data")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if resume else "static",
+    )
     try:
         result.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    # manifest append AFTER data is durable
-    all_buckets = set(range(n_buckets)) - done
+    # manifest write AFTER data is durable; fresh runs replace the manifest
+    run_buckets = set(range(n_buckets)) - done
     manifest = os.path.join(out_dir, "_checkpoints")
     spark.createDataFrame(
-        [(int(b),) for b in sorted(all_buckets)], "bucket int"
-    ).write.mode("append").parquet(manifest)
-    return len(all_buckets)
+        [(int(b),) for b in sorted(run_buckets)], "bucket int"
+    ).write.mode("append" if resume else "overwrite").parquet(manifest)
+    return len(run_buckets)
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
