@@ -808,8 +808,8 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(g_a, g_b)) * 1.0
                          / len(list_distinct(list_concat(g_a, g_b))), 4) AS jaccard
             FROM pairs
-            WHERE len(list_intersect(g_a, g_b)) * 1.0
-                  / len(list_distinct(list_concat(g_a, g_b))) >= 0.8
+            WHERE round(len(list_intersect(g_a, g_b)) * 1.0
+                  / len(list_distinct(list_concat(g_a, g_b))), 4) >= 0.8
         """,
     }
 

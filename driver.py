@@ -110,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
         # exactly the buckets this invocation computed (appending
         # full-output metrics on every resume would double-count documents)
         pre_done = (
-            checkpoints.completed_buckets(spark, args.output)
+            checkpoints.completed_buckets(spark, args.output, args.buckets)
             if args.resume else set()
         )
         n_run = checkpoints.run_resumable(

@@ -152,3 +152,21 @@ def test_fused_equals_chained(spark, pages_df):
     fix = lambda df: df.withColumn("drop_reasons", F.concat_ws("|", "drop_reasons"))  # noqa: E731
     assert fix(a).exceptAll(fix(b)).count() == 0
     assert fix(b).exceptAll(fix(a)).count() == 0
+
+
+def test_resume_rejects_cross_scheme_manifest(spark, pages_df, tmp_path):
+    """Resuming with a different n_buckets must raise, not mix schemes."""
+    import pytest
+
+    from wikisource_latin_text_cleaner_spark.plans import checkpoints
+
+    pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=False))
+    out = str(tmp_path / "o")
+    checkpoints.run_resumable(pipe.transform, pages_df, out, n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        checkpoints.run_resumable(pipe.transform, pages_df, out, n_buckets=16)
+    # a fresh (non-resume) run under the new scheme replaces everything
+    n = checkpoints.run_resumable(pipe.transform, pages_df, out,
+                                  n_buckets=16, resume=False)
+    assert n == 16
+    assert checkpoints.read_output(spark, out).count() == pages_df.count()

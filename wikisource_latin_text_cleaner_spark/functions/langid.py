@@ -83,7 +83,12 @@ def scores_for_text(text: str) -> np.ndarray:
 
 
 def predict(text: str) -> tuple[str, float]:
-    """(language, confidence margin). Margin = best minus runner-up score."""
+    """(language, confidence margin). Margin = best minus runner-up score.
+
+    Texts with no trigrams (empty / under 3 chars) abstain with ("und", 0.0)
+    rather than reporting an arbitrary language at zero margin."""
+    if _trigram_buckets(text or "").size == 0:
+        return "und", 0.0
     s = scores_for_text(text)
     order = np.argsort(s)
     best, runner = order[-1], order[-2]

@@ -15,11 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Mirror of rules.STOPWORDS (kept in sync by tests/test_quality.py)
-STOPWORDS = sorted(
-    "the of and to in a is was for that et in de ad cum ex pro per ab non "
-    "sed ut si quod qui quae der die und das le la les el los en".split()
-)
+from . import rules as _rules
+
+#: Derived (not duplicated) from rules.STOPWORDS: the Spark-side ratio
+#: expressions and the keep/drop gate can never diverge
+STOPWORDS = sorted(_rules.STOPWORDS)
 
 
 def words(col) -> Column:

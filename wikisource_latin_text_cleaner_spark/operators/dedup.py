@@ -57,26 +57,31 @@ def _minhash_signature(text: str, k: int = 64) -> np.ndarray:
 
 
 def _token_hashes(text: str) -> np.ndarray:
+    """Full-width 64-bit FNV-1a per token (uint64): all 64 signature bits
+    carry signal. (An earlier version masked to 63 bits, permanently
+    zeroing votes for bit 63.)"""
     toks = text.lower().split()
     if not toks:
-        return np.zeros(1, dtype=np.int64)
-    out = np.zeros(len(toks), dtype=np.int64)
+        return np.zeros(1, dtype=np.uint64)
+    out = np.zeros(len(toks), dtype=np.uint64)
     for i, t in enumerate(toks):
-        h = np.int64(1469598103934665603)
+        h = 14695981039346656037
         for ch in t.encode("utf-8"):
-            h = np.int64((int(h) ^ ch) * 1099511628211 & 0x7FFFFFFFFFFFFFFF)
+            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
         out[i] = h
     return out
 
 
 def _simhash64(text: str) -> int:
     hashes = _token_hashes(text)
-    bits = ((hashes[:, None] >> np.arange(64)[None, :]) & 1).astype(np.int32)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
     votes = (2 * bits - 1).sum(axis=0)
     sig = 0
     for b in np.nonzero(votes > 0)[0]:
         sig |= 1 << int(b)
-    return sig - (1 << 63) if sig >= (1 << 63) else sig  # to signed long
+    # proper two's-complement fold to a Spark LongType (an earlier version
+    # subtracted 2^63, which CLEARED bit 63 instead of signing the value)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
 
 
 @F.pandas_udf(ArrayType(LongType()))

@@ -31,11 +31,25 @@ def with_bucket(df: DataFrame, n_buckets: int, key: str = "url") -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)))
 
 
-def completed_buckets(spark: SparkSession, out_dir: str) -> set:
+def completed_buckets(spark: SparkSession, out_dir: str,
+                      n_buckets: int | None = None) -> set:
+    """Bucket ids marked complete. When ``n_buckets`` is given, a manifest
+    written under a DIFFERENT bucket scheme raises instead of silently
+    mixing schemes (resuming pmod-8 data with pmod-64 arithmetic would
+    both duplicate and drop rows)."""
     manifest = os.path.join(out_dir, "_checkpoints")
     if not os.path.exists(manifest):
         return set()
-    rows = spark.read.parquet(manifest).select("bucket").distinct().collect()
+    df = spark.read.parquet(manifest)
+    if n_buckets is not None and "n_buckets" in df.columns:
+        schemes = {r["n_buckets"] for r in df.select("n_buckets").distinct().collect()}
+        if schemes - {n_buckets}:
+            raise ValueError(
+                f"checkpoint manifest at {manifest} was written with "
+                f"n_buckets={sorted(schemes)}, current run uses {n_buckets}; "
+                "rerun without --resume to recompute under the new scheme"
+            )
+    rows = df.select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
 
 
@@ -55,7 +69,7 @@ def run_resumable(
     survive) and rewrites the manifest from scratch.
     """
     spark = pages.sparkSession
-    done = completed_buckets(spark, out_dir) if resume else set()
+    done = completed_buckets(spark, out_dir, n_buckets) if resume else set()
     # coverage check, not cardinality: a manifest written under a different
     # n_buckets must not report this scheme complete
     if resume and set(range(n_buckets)) <= done:
@@ -77,11 +91,13 @@ def run_resumable(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    # manifest write AFTER data is durable; fresh runs replace the manifest
+    # manifest write AFTER data is durable; fresh runs replace the manifest;
+    # each row records its bucket scheme so cross-scheme resumes are caught
     run_buckets = set(range(n_buckets)) - done
     manifest = os.path.join(out_dir, "_checkpoints")
     spark.createDataFrame(
-        [(int(b),) for b in sorted(run_buckets)], "bucket int"
+        [(int(b), int(n_buckets)) for b in sorted(run_buckets)],
+        "bucket int, n_buckets int",
     ).write.mode("append" if resume else "overwrite").parquet(manifest)
     return len(run_buckets)
 
