@@ -106,25 +106,29 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     if args.buckets >= 1:
-        # capture the manifest BEFORE the run so metrics can be scoped to
-        # exactly the buckets this invocation computed (appending
-        # full-output metrics on every resume would double-count documents)
-        pre_done = (
-            checkpoints.completed_buckets(spark, args.output, args.buckets)
-            if args.resume else set()
-        )
-        n_run = checkpoints.run_resumable(
+        run_buckets = checkpoints.run_resumable(
             pipe.transform, pages, args.output, n_buckets=args.buckets,
             resume=args.resume,
         )
         out = checkpoints.read_output(spark, args.output)
-        run_buckets = sorted(set(range(args.buckets)) - pre_done)
-        metrics_src = out.where(out.bucket.isin(run_buckets)) if n_run else None
+        # metrics scoped to exactly the buckets this invocation computed
+        # (full-output metrics on every resume would double-count docs).
+        # Known tradeoff: a crash between the manifest write and this append
+        # loses one run's metrics rather than double-counting them.
+        metrics_src = (
+            out.where(out.bucket.isin(run_buckets)) if run_buckets else None
+        )
+        n_run = len(run_buckets) if run_buckets else 0
     else:
         flat = pipe.transform(pages)
         # same <output>/data layout as the bucketed path, so the metrics
-        # table never nests inside the scanned dataset
+        # table never nests inside the scanned dataset; any prior bucketed
+        # manifest is invalidated (overwritten empty) so a later --resume
+        # cannot trust checkpoints that no longer describe the data
         flat.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+        spark.createDataFrame([], "bucket int, n_buckets int").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.output, "_checkpoints"))
         out = checkpoints.read_output(spark, args.output)
         metrics_src = out
         n_run = -1

@@ -91,7 +91,7 @@ def test_resume_idempotent(spark, pages_df, tmp_path):
     out_dir = str(tmp_path / "clean")
     pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=False))
     n1 = checkpoints.run_resumable(pipe.transform, pages_df, out_dir, n_buckets=8)
-    assert n1 == 8
+    assert n1 == list(range(8))
     full = checkpoints.read_output(spark, out_dir)
     snapshot1 = sorted(
         (r["url"], r["keep"], r["clean_text"]) for r in full.select("url", "keep", "clean_text").collect()
@@ -102,13 +102,13 @@ def test_resume_idempotent(spark, pages_df, tmp_path):
 
     manifest = os.path.join(out_dir, "_checkpoints")
     done = [
-        (r["bucket"],)
+        (r["bucket"], 8)
         for r in spark.read.parquet(manifest).filter(F.col("bucket") < 6).collect()
     ]
     shutil.rmtree(manifest)
-    spark.createDataFrame(done, "bucket int").write.parquet(manifest)
+    spark.createDataFrame(done, "bucket int, n_buckets int").write.parquet(manifest)
     n2 = checkpoints.run_resumable(pipe.transform, pages_df, out_dir, n_buckets=8)
-    assert n2 == 2  # only the two missing buckets re-ran
+    assert n2 == [6, 7]  # only the two missing buckets re-ran
 
     snapshot2 = sorted(
         (r["url"], r["keep"], r["clean_text"])
@@ -168,5 +168,5 @@ def test_resume_rejects_cross_scheme_manifest(spark, pages_df, tmp_path):
     # a fresh (non-resume) run under the new scheme replaces everything
     n = checkpoints.run_resumable(pipe.transform, pages_df, out,
                                   n_buckets=16, resume=False)
-    assert n == 16
+    assert n == list(range(16))
     assert checkpoints.read_output(spark, out).count() == pages_df.count()

@@ -86,10 +86,13 @@ def predict(text: str) -> tuple[str, float]:
     """(language, confidence margin). Margin = best minus runner-up score.
 
     Texts with no trigrams (empty / under 3 chars) abstain with ("und", 0.0)
-    rather than reporting an arbitrary language at zero margin."""
-    if _trigram_buckets(text or "").size == 0:
-        return "und", 0.0
+    rather than reporting an arbitrary language at zero margin. The
+    no-trigram case is detected from the scores themselves (all-zero; any
+    real trigram makes every log-prob sum strictly negative) so the text is
+    hashed exactly once."""
     s = scores_for_text(text)
+    if not s.any():
+        return "und", 0.0
     order = np.argsort(s)
     best, runner = order[-1], order[-2]
     return LANGS[int(best)], float(s[best] - s[runner])

@@ -126,6 +126,7 @@ def winnowing_near_duplicates(
     id_col: str = "doc_id",
     min_containment: float = 0.5,
     max_df: float | None = 0.2,
+    persist_fingerprints: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint containment (the MOSS scheme):
     containment = shared / min(|fps_a|, |fps_b|) >= min_containment.
@@ -145,14 +146,16 @@ def winnowing_near_duplicates(
     on fingerprint (uniform keys, no skew) -> pair-count agg -> containment
     filter against per-doc fingerprint counts (two broadcastable joins).
     """
-    from pyspark.storagelevel import StorageLevel
-
-    # persisted: four consumers (stop-fp agg, sizes agg, both join sides)
-    # would otherwise re-run the winnow UDF per consumer (same reasoning as
-    # minhash_near_duplicates' persist_signatures)
+    # persisted by default: four consumers (stop-fp agg, sizes agg, both
+    # join sides) would otherwise re-run the winnow UDF per consumer (same
+    # reasoning + opt-out semantics as minhash persist_signatures; Spark
+    # evicts LRU)
     fps = df.select(F.col(id_col).alias("id"),
-                    F.explode(winnow_udf(text_col)).alias("fp")).persist(
-        StorageLevel.MEMORY_AND_DISK)
+                    F.explode(winnow_udf(text_col)).alias("fp"))
+    if persist_fingerprints:
+        from pyspark.storagelevel import StorageLevel
+
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         n_docs = df.count()
         # absolute floor of 5: a fingerprint in a handful of docs is the

@@ -41,12 +41,19 @@ def completed_buckets(spark: SparkSession, out_dir: str,
     if not os.path.exists(manifest):
         return set()
     df = spark.read.parquet(manifest)
-    if n_buckets is not None and "n_buckets" in df.columns:
+    if n_buckets is not None:
+        if "n_buckets" not in df.columns:
+            raise ValueError(
+                f"checkpoint manifest at {manifest} predates bucket-scheme "
+                "recording and cannot be safely resumed; rerun without "
+                "--resume to recompute"
+            )
         schemes = {r["n_buckets"] for r in df.select("n_buckets").distinct().collect()}
-        if schemes - {n_buckets}:
+        if None in schemes or schemes - {n_buckets}:
+            known = sorted(s for s in schemes if s is not None)
             raise ValueError(
                 f"checkpoint manifest at {manifest} was written with "
-                f"n_buckets={sorted(schemes)}, current run uses {n_buckets}; "
+                f"n_buckets={known or 'unknown'}, current run uses {n_buckets}; "
                 "rerun without --resume to recompute under the new scheme"
             )
     rows = df.select("bucket").distinct().collect()
@@ -59,8 +66,11 @@ def run_resumable(
     out_dir: str,
     n_buckets: int = 64,
     resume: bool = True,
-) -> int:
-    """Run `transform` over all not-yet-done buckets; returns #buckets run.
+) -> list[int]:
+    """Run `transform` over all not-yet-done buckets; returns the sorted
+    list of bucket ids this call ran (empty = nothing to do), so callers
+    can scope per-run side effects (e.g. metrics) without re-deriving the
+    resume arithmetic.
 
     `transform` is DataFrame -> DataFrame (e.g. QualityFilterPipeline.transform).
 
@@ -73,7 +83,7 @@ def run_resumable(
     # coverage check, not cardinality: a manifest written under a different
     # n_buckets must not report this scheme complete
     if resume and set(range(n_buckets)) <= done:
-        return 0
+        return []
     bucketed = with_bucket(pages, n_buckets)
     todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
 
@@ -82,9 +92,13 @@ def run_resumable(
 
     data_dir = os.path.join(out_dir, "data")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    # dynamic (per-partition) overwrite ONLY when genuinely continuing past
+    # completed buckets; a full run -- resume with an empty/absent manifest
+    # included -- truncates, so stale partitions from a crashed run under a
+    # different bucket scheme can never survive
     spark.conf.set(
         "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if resume else "static",
+        "dynamic" if (resume and done) else "static",
     )
     try:
         result.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
@@ -99,7 +113,7 @@ def run_resumable(
         [(int(b), int(n_buckets)) for b in sorted(run_buckets)],
         "bucket int, n_buckets int",
     ).write.mode("append" if resume else "overwrite").parquet(manifest)
-    return len(run_buckets)
+    return sorted(run_buckets)
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
