@@ -573,8 +573,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "size_stats": """
             SELECT count(*) AS n_docs, min(n_chars) AS min_chars,
-                   max(n_chars) AS max_chars, round(avg(n_chars), 4) AS avg_chars,
-                   sum(n_chars) AS total_chars
+                   max(n_chars) AS max_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents
         """,
         "smallest10": """
@@ -619,7 +621,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'complete' AS dataset, text FROM documents
             )
             SELECT dataset, count(*) AS n_docs,
-                   sum(octet_length(encode(text))) AS total_bytes
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
             FROM views GROUP BY dataset
         """,
         "dedup_exact": """
@@ -629,16 +631,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT lang,
-                   sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                       x -> x <> ''))) AS total_tokens,
+                   CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> x <> ''))) AS BIGINT) AS total_tokens,
                    round(avg(len(list_filter(string_split_regex(trim(text), '\\s+'),
                                              x -> x <> ''))), 4) AS avg_tokens
             FROM documents GROUP BY lang
         """,
         "bpe_token_counts": """
             SELECT lang,
-                   sum(len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_tokens
+                   CAST(sum(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
         """,
         "fingerprints": """
@@ -701,9 +703,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_matches": """
             SELECT lang,
-                   sum(len(regexp_extract_all(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS email_matches,
-                   sum(len(regexp_extract_all(text, 'https?://[^\\s]+'))) AS url_matches
+                   CAST(sum(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS email_matches,
+                   CAST(sum(len(regexp_extract_all(text, 'https?://[^\\s]+'))) AS BIGINT) AS url_matches
             FROM documents GROUP BY lang
         """,
         "events_by_type": """

@@ -32,12 +32,26 @@ def fingerprint_col(text_col) -> F.Column:
     return F.md5(F.lower(F.regexp_replace(text_col, r"\s+", " ")))
 
 
-def size_stats(df: DataFrame, size_col: str = "n_chars") -> DataFrame:
-    """Corpus size stats (ref A1: step1_remove_short_files.py:117-144)."""
+def size_stats(df: DataFrame, size_col: str = "n_chars",
+               exact_median: bool = True) -> DataFrame:
+    """Corpus size stats incl. median (ref A1: step1_remove_short_files.py:117-144
+    sorts sizes and reports min-10, median, mean).
+
+    ``exact_median=True`` uses the exact interpolated percentile (matches
+    DuckDB ``quantile_cont``); at 100 TB prefer ``exact_median=False`` --
+    ``percentile_approx`` is a fixed-memory single-pass sketch, while the
+    exact variant's per-partition state grows with distinct sizes.
+    """
+    median = (
+        F.percentile(size_col, F.lit(0.5))
+        if exact_median
+        else F.percentile_approx(size_col, F.lit(0.5)).cast("double")
+    )
     return df.agg(
         F.count("*").alias("n_docs"),
         F.min(size_col).alias("min_chars"),
         F.max(size_col).alias("max_chars"),
+        F.round(median, 4).alias("median_chars"),
         F.round(F.avg(size_col), 4).alias("avg_chars"),
         F.sum(size_col).alias("total_chars"),
     )
