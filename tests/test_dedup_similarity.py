@@ -132,6 +132,47 @@ def test_embedding_near_duplicates(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
 
 
+def test_signature_kernels_bounded_memory_on_huge_doc():
+    """A multi-MB outlier document must not blow up executor Python-worker
+    memory: the one-shot formulation allocated a (64 x n_shingles) int64
+    temp (~3 GB for a 6 MB doc); the block-wise kernels stay under a few
+    hundred MB. Run in a subprocess under an address-space rlimit so a
+    regression fails loudly instead of silently eating executor memory."""
+    import subprocess
+    import sys
+    import textwrap
+
+    prog = textwrap.dedent(
+        """
+        import resource
+        import numpy as np
+        from wikisource_latin_text_cleaner_spark.operators import dedup
+        # high-entropy ~6 MB doc: nearly all shingles DISTINCT, so the
+        # one-shot kernel's (64 x n_shingles) temp would be ~3 GB (a
+        # repetitive doc dedupes to a handful of shingles and catches
+        # nothing). Generated before the rlimit so setup isn't counted.
+        rng = np.random.RandomState(7)
+        alphabet = np.frombuffer(b"abcdefghijklmnop qrstu", dtype=np.uint8)
+        doc = alphabet[rng.randint(0, len(alphabet), 6_000_000)].tobytes().decode()
+        # cap address space at current usage + 512 MB AFTER imports (numpy
+        # alone reserves more VA than the kernels are allowed to add)
+        with open("/proc/self/status") as f:
+            cur_kb = next(int(l.split()[1]) for l in f if l.startswith("VmSize"))
+        lim = (cur_kb << 10) + (512 << 20)
+        resource.setrlimit(resource.RLIMIT_AS, (lim, lim))
+        sig = dedup._minhash_signature(doc)
+        assert sig.shape == (64,)
+        sim = dedup._simhash64(doc)
+        assert -(1 << 63) <= sim < (1 << 63)
+        print("OK")
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True, timeout=120
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
+
 # -- winnowing ---------------------------------------------------------------
 
 def test_winnow_shared_substring_guarantee():

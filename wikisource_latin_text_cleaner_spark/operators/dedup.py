@@ -49,33 +49,91 @@ def _char_shingle_hashes(text: str, width: int = 5) -> np.ndarray:
     return np.unique(acc & np.int64(0x7FFFFFFFFFFFFFFF))
 
 
+#: Per-block element budget for signature kernels. Caps the transient
+#: (k x block) / (block x 64) matrices at ~32 MB so one outlier web document
+#: (a 1 M-char page would otherwise allocate ~0.5 GB in a single UDF call)
+#: cannot OOM an executor's Python worker. Same fix shape as the langid
+#: long-doc block processing (functions/langid.py:75-82).
+_KERNEL_BLOCK = 65536
+
+
 def _minhash_signature(text: str, k: int = 64) -> np.ndarray:
     sh = _char_shingle_hashes(text)
-    # affine permutations over a Mersenne-prime field
-    vals = (sh[None, :] * _MINHASH_A[:k, None] + _MINHASH_B[:k, None]) % _MERSENNE
-    return vals.min(axis=1)
+    # affine permutations over a Mersenne-prime field, block-wise over the
+    # shingle axis with a running min -- identical values to the one-shot
+    # (k x n_shingles) product, bounded memory
+    mins = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+    a, b = _MINHASH_A[:k, None], _MINHASH_B[:k, None]
+    for start in range(0, sh.size, _KERNEL_BLOCK):
+        chunk = sh[None, start: start + _KERNEL_BLOCK]
+        np.minimum(mins, ((chunk * a + b) % _MERSENNE).min(axis=1), out=mins)
+    return mins
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+#: byte position past which a token falls off the vectorized FNV fast path
+_VECTOR_BYTE_CAP = 256
 
 
 def _token_hashes(text: str) -> np.ndarray:
     """Full-width 64-bit FNV-1a per token (uint64): all 64 signature bits
     carry signal. (An earlier version masked to 63 bits, permanently
-    zeroing votes for bit 63.)"""
+    zeroing votes for bit 63.)
+
+    Vectorized across tokens: tokens are length-sorted so the set still
+    active at byte position j is a contiguous prefix, and each step is three
+    slice ops on that prefix -- the Python-level loop runs max(token_len)
+    times (~10 for web text) instead of len(text) times. uint64 wraparound
+    gives the FNV mask for free. Memory is O(n_bytes + n_tokens) -- no 2D
+    padding matrix. Tokens longer than _VECTOR_BYTE_CAP (degenerate inputs;
+    at most a handful per document) finish with a per-token byte loop so one
+    pathological token cannot stretch the vector loop a million steps."""
     toks = text.lower().split()
     if not toks:
         return np.zeros(1, dtype=np.uint64)
-    out = np.zeros(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = 14695981039346656037
-        for ch in t.encode("utf-8"):
-            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
+    enc = [t.encode("utf-8") for t in toks]
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    lens = np.fromiter((len(t) for t in enc), dtype=np.int64, count=len(enc))
+    offs = np.concatenate(([0], np.cumsum(lens[:-1])))
+    order = np.argsort(-lens, kind="stable")
+    slens, soffs = lens[order], offs[order]
+    res = np.full(len(enc), _FNV_OFFSET, dtype=np.uint64)
+    maxlen = int(slens[0])
+    # cnts[j] = number of tokens longer than j bytes (prefix size at step j)
+    cnts = len(enc) - np.cumsum(np.bincount(slens, minlength=maxlen + 1))
+    with np.errstate(over="ignore"):
+        for j in range(min(maxlen, _VECTOR_BYTE_CAP)):
+            c = int(cnts[j])
+            if c == 0:
+                break
+            res[:c] = (res[:c] ^ flat[soffs[:c] + j].astype(np.uint64)) * _FNV_PRIME
+    if maxlen > _VECTOR_BYTE_CAP:
+        for i in range(int(cnts[_VECTOR_BYTE_CAP])):
+            h = int(res[i])
+            o = int(soffs[i])
+            for ch in flat[o + _VECTOR_BYTE_CAP: o + int(slens[i])].tobytes():
+                h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            res[i] = h
+    out = np.empty_like(res)
+    out[order] = res
     return out
 
 
 def _simhash64(text: str) -> int:
     hashes = _token_hashes(text)
-    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-    votes = (2 * bits - 1).sum(axis=0)
+    # block-wise vote accumulation: the (block x 64) bit matrix stays under
+    # the kernel budget regardless of document length. unpackbits over the
+    # little-endian byte view puts bit position b of each hash in column b
+    # -- one C call instead of 64 uint64 broadcast shifts (~20x faster).
+    votes = np.zeros(64, dtype=np.int64)
+    byte_view = np.ascontiguousarray(hashes).view(np.uint8).reshape(-1, 8)
+    for start in range(0, hashes.size, _KERNEL_BLOCK):
+        chunk = byte_view[start: start + _KERNEL_BLOCK]
+        ones = np.unpackbits(chunk, axis=1, bitorder="little").sum(
+            axis=0, dtype=np.int64
+        )
+        votes += 2 * ones - len(chunk)
     sig = 0
     for b in np.nonzero(votes > 0)[0]:
         sig |= 1 << int(b)
