@@ -330,13 +330,15 @@ def q_knn_bruteforce(spark, sf):
 
 
 def q_ngram_jaccard_near_dups(spark, sf):
-    """Exact 3-gram Jaccard >= 0.8 pairs among exact-dup candidates.
+    """Exact 3-gram Jaccard >= 0.8 pairs, MinHash-band candidates -> exact
+    JVM verification (operators/dedup.py:ngram_jaccard_near_duplicates).
 
-    Candidates: docs sharing a fingerprint prefix bucket (cheap blocking);
-    verification is exact and SQL-expressible, so this one HAS an oracle.
+    The oracle verifies ALL pairs exactly (feasible at oracle scale), so a
+    candidate-generation recall miss would surface as a row-count mismatch
+    -- the strongest check available for an LSH-candidated operator.
     """
     d = _docs(spark, sf, spread=True).select("doc_id", "text")
-    return dedup.ngram_jaccard_blocked(d, n=3, threshold=0.8, prefix_len=2)
+    return dedup.ngram_jaccard_near_duplicates(d, n=3, threshold=0.8)
 
 
 def q_html_extract(spark, sf):
@@ -789,9 +791,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_occurrences DESC, word ASC LIMIT 100
         """,
         "ngram_jaccard_near_dups": """
+            -- ALL-pairs exact verification (no blocking): any pair the
+            -- Spark side's MinHash-band candidate generation missed would
+            -- appear here as an extra row
             WITH grams AS (
               SELECT doc_id,
-                     md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
                      list_distinct(
                        list_transform(
                          range(0, greatest(len(string_split_regex(lower(text), '\\s+')) - 3, 0) + 1),
@@ -803,8 +807,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.g AS g_a, b.g AS g_b
-              FROM grams a JOIN grams b
-                ON substr(a.fp, 1, 2) = substr(b.fp, 1, 2) AND a.doc_id < b.doc_id
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id
             )
             SELECT id_a, id_b,
                    round(len(list_intersect(g_a, g_b)) * 1.0

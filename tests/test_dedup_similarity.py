@@ -132,6 +132,56 @@ def test_embedding_near_duplicates(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
 
 
+def test_ngram_jaccard_near_duplicates_finds_one_word_edit(spark):
+    """A 1-word-edit near-dup pair that md5-prefix blocking provably missed
+    (different whole-text fingerprints -> different blocks with P=255/256)
+    must be found by the MinHash-band candidate path."""
+    import hashlib
+    import re
+
+    words = ("gallia est omnis divisa in partes tres quarum unam incolunt "
+             "belgae aliam aquitani tertiam qui ipsorum lingua celtae nostra "
+             "galli appellantur hi omnes lingua institutis legibus inter se "
+             "differunt gallos ab aquitanis garumna flumen a belgis matrona "
+             "et sequana dividit horum omnium fortissimi sunt belgae").split()
+    a = " ".join(words)
+    b = " ".join(w if i != 20 else "romani" for i, w in enumerate(words))
+
+    def block(t):  # the old operator's md5-prefix block key
+        return hashlib.md5(
+            re.sub(r"\s+", " ", t.lower()).encode()
+        ).hexdigest()[:2]
+
+    assert block(a) != block(b), "fixture must land in different md5 blocks"
+
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, "arma virumque cano troiae qui primus ab oris " * 6)],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_near_duplicates(df, threshold=0.8).collect()}
+    assert (0, 1) in pairs, pairs
+    assert pairs[(0, 1)] >= 0.8
+    assert all(2 not in p for p in pairs)
+
+
+def test_minhash_band_candidates_are_bucketed_not_allpairs(spark):
+    """Candidate generation must not degrade to a cross product: unrelated
+    docs yield no candidate pairs."""
+    import random
+
+    def doc(i):
+        rng = random.Random(1000 + i)
+        return " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+            for _ in range(60)
+        )
+
+    rows = [(i, doc(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.minhash_band_candidates(df).count() == 0
+
+
 def test_signature_kernels_bounded_memory_on_huge_doc():
     """A multi-MB outlier document must not blow up executor Python-worker
     memory: the one-shot formulation allocated a (64 x n_shingles) int64

@@ -264,6 +264,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # -- MinHash + LSH near-dup ---------------------------------------------------
 
+def minhash_band_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) whose MinHash signatures agree
+    on at least one LSH band -- the scale-correct candidate generator for
+    any exact pairwise verifier (n-gram Jaccard, edit distance, ...).
+
+    With 16 bands x 4 rows, a pair at true Jaccard j collides with
+    probability 1-(1-j^4)^16 (~0.9998 at j=0.8), and bucket keys are
+    ~uniform by construction, so the self-join is bucketed and skew-free --
+    never O(n^2) in the corpus.
+    """
+    sigs = df.select(F.col(id_col).alias("id"), minhash_udf(text_col).alias("sig"))
+    bands_df = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band), b),
+            )
+        ).alias("band_key"),
+    )
+    left = bands_df.select("band_key", F.col("id").alias("id_a"))
+    right = bands_df.select("band_key", F.col("id").alias("id_b"))
+    return (
+        left.join(right, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Exact word n-gram Jaccard near-dup pairs: MinHash-band candidate
+    generation -> JVM-side exact verification (ngram_jaccard_pairs).
+
+    This replaces md5-prefix blocking, which only paired docs whose ENTIRE
+    normalized text hashed to the same prefix -- near-dups differing by one
+    word landed in the same block with P~=1/256 (recall ~0.4%), and the 256
+    content-blind buckets made the self-join O(n^2/256) at scale. Banded
+    candidates give ~0.9998 recall at j=0.8 with uniform bucket keys.
+    """
+    candidates = minhash_band_candidates(df, text_col, id_col, bands, rows_per_band)
+    return ngram_jaccard_pairs(df, candidates, text_col, id_col, n, threshold)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -411,47 +469,6 @@ def ngram_jaccard_pairs(
         joined.withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
-    )
-
-
-def ngram_jaccard_blocked(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
-    prefix_len: int = 2,
-) -> DataFrame:
-    """Exact word n-gram Jaccard pairs with fingerprint-prefix blocking.
-
-    One-pass variant of ngram_jaccard_pairs for hash-block candidates: grams
-    are computed once per doc and carried straight through a single
-    (block-key) self-join -- no join-back of the gram arrays to a separate
-    pair list, so the pair set never shuffles twice. The block key is the
-    first ``prefix_len`` hex chars of the md5 fingerprint (16^prefix_len
-    buckets, ~uniform, so the self-join is skew-free by construction).
-    """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams_col = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
-    fp = F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    g = df.select(
-        F.col(id_col).alias("id"),
-        F.substring(fp, 1, prefix_len).alias("blk"),
-        grams_col.alias("grams"),
-    )
-    a = g.select("blk", F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    b = g.select("blk", F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
-    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
-    return (
-        a.join(b, "blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
     )
 
 
