@@ -72,6 +72,10 @@ _KNN_SQL_VEC = "[" + ", ".join(f"{x}::DOUBLE" for x in _KNN_QUERY) + "]"
 _STOPWORDS = quality.STOPWORDS
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
+from wikisource_latin_text_cleaner_spark.functions import pii as piix  # noqa: E402
+
+_TOX_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(piix.TOXICITY_LEXICON)) + "]"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: scan -> Arrow scrub/verdict UDF -> gates -> groupBy report."""
@@ -401,7 +405,8 @@ def q_bpe_token_stats(spark, sf):
 
 def q_sentence_chunks(spark, sf):
     """Greedy sentence-boundary packing into <=128-token passages
-    (positional/stateful -> Arrow UDF, rows-only)."""
+    (positional/stateful -> Arrow UDF). Oracle-backed: the greedy packing
+    recurrence is expressed as a DuckDB recursive CTE."""
     d = _docs(spark, sf, spread=True)
     chunks = segment.sentence_packed_chunks(d, max_tokens=128)
     return chunks.select(
@@ -418,8 +423,8 @@ def q_winnowing_pairs(spark, sf):
 
 
 def q_toxicity_stats(spark, sf):
-    """Toxicity lexicon gate stats (functions/pii.py; unicode \\w semantics
-    differ from RE2 so no SQL oracle -- rows-only)."""
+    """Toxicity lexicon gate stats (functions/pii.py). Oracle-backed: the
+    word class is ASCII [a-z]+, identical under Python re and RE2."""
     d = _docs(spark, sf, spread=True)
     return (
         d.select("lang", udfs.toxicity_udf("text").alias("tox"))
@@ -431,16 +436,30 @@ def q_toxicity_stats(spark, sf):
     )
 
 
+#: The synthetic media table is persisted once (pyarrow, deterministic) so
+#: the DuckDB oracle scans the SAME parquet bytes the Spark queries read.
+_MEDIA_PARQUET = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".mediacache", "synth_media_n300_s9.parquet"
+)
+
+
 def q_media_image_features(spark, sf):
     """Multimodal: image feature extraction over a deterministic synthetic
-    media table (decode stubbed; Spark plumbing real -- operators/multimodal.py)."""
-    media = multimodal.synth_media(spark, 300, seed=9)
+    media table (decode stubbed behind a PIL gate; Spark plumbing real --
+    operators/multimodal.py). Oracle-backed: the fake features are pure
+    digest functions of the payload, replicated in SQL."""
+    media = spark.read.parquet(
+        multimodal.ensure_synth_media_parquet(_MEDIA_PARQUET, 300, seed=9)
+    )
     return multimodal.extract_image_features(media)
 
 
 def q_media_video_frames(spark, sf):
-    """Multimodal: 1->N frame-sampling fan-out per video row."""
-    media = multimodal.synth_media(spark, 300, seed=9)
+    """Multimodal: 1->N frame-sampling fan-out per video row. Oracle-backed:
+    frame counts/timestamps are pure functions of meta.duration_ms."""
+    media = spark.read.parquet(
+        multimodal.ensure_synth_media_parquet(_MEDIA_PARQUET, 300, seed=9)
+    )
     frames = multimodal.sample_video_frames(media, every_ms=1000)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
@@ -572,6 +591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the media oracles scan the persisted synthetic media parquet; make
+    # sure it exists even when oracle SQL runs before/without the queries
+    multimodal.ensure_synth_media_parquet(_MEDIA_PARQUET, 300, seed=9)
     return {
         "size_stats": """
             SELECT count(*) AS n_docs, min(n_chars) AS min_chars,
@@ -815,6 +837,81 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE round(len(list_intersect(g_a, g_b)) * 1.0
                   / len(list_distinct(list_concat(g_a, g_b))), 4) >= 0.8
+        """,
+        "toxicity_stats": f"""
+            SELECT lang,
+                   round(avg(
+                     CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) > 0
+                     THEN len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                              w -> list_contains({_TOX_SQL}, w))) * 1.0
+                          / len(regexp_extract_all(lower(text), '[a-z]+'))
+                     ELSE 0.0 END), 6) AS avg_toxicity,
+                   CAST(sum(
+                     CASE WHEN len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                              w -> list_contains({_TOX_SQL}, w))) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+            FROM documents GROUP BY lang
+        """,
+        "media_image_features": f"""
+            WITH f AS (
+              SELECT doc_id, payload, sha256(lower(hex(payload))) AS d
+              FROM '{_MEDIA_PARQUET}' WHERE media_type = 'image'
+            )
+            SELECT doc_id,
+                   64 + CAST('0x' || substr(d, 1, 2) AS INT) % 192 AS width,
+                   64 + CAST('0x' || substr(d, 3, 2) AS INT) % 192 AS height,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                   round(CAST('0x' || substr(d, 5, 4) AS INT) / 65535.0, 6) AS mean_luma,
+                   CAST('0x' || substr(d, 1, 15) AS BIGINT) AS phash
+            FROM f
+        """,
+        "media_video_frames": f"""
+            SELECT doc_id,
+                   CAST(greatest(meta.duration_ms // 1000, 1) AS BIGINT) AS n_frames,
+                   CAST((greatest(meta.duration_ms // 1000, 1) - 1) * 1000 AS INT)
+                     AS last_ts_ms
+            FROM '{_MEDIA_PARQUET}' WHERE media_type = 'video'
+        """,
+        "sentence_chunks": """
+            -- greedy sentence packing as a recursive recurrence: sentence
+            -- boundaries via marker substitution (RE2 has no lookbehind;
+            -- replacing '([.!?])\\s+' with '\\1<RS>' then splitting on <RS>
+            -- yields the same pieces as Python's '(?<=[.!?])\\s+' split)
+            WITH RECURSIVE sent0 AS (
+              SELECT doc_id,
+                     string_split(
+                       regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                       chr(30)) AS pieces
+              FROM documents
+            ),
+            sent1 AS (
+              SELECT doc_id, t.i AS raw_idx,
+                     regexp_replace(pieces[t.i], '^\\s+|\\s+$', '', 'g') AS s_trim
+              FROM sent0, unnest(range(1, len(pieces) + 1)) AS t(i)
+            ),
+            sent AS (
+              SELECT doc_id, s_trim,
+                     len(string_split_regex(s_trim, '\\s+')) AS n_tok,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1
+                       AS sidx
+              FROM sent1 WHERE s_trim <> ''
+            ),
+            packed AS (
+              SELECT doc_id, sidx, s_trim, CAST(0 AS INT) AS chunk_idx,
+                     n_tok AS acc
+              FROM sent WHERE sidx = 0
+              UNION ALL
+              SELECT s.doc_id, s.sidx, s.s_trim,
+                     CAST(CASE WHEN p.acc + s.n_tok > 128
+                          THEN p.chunk_idx + 1 ELSE p.chunk_idx END AS INT),
+                     CASE WHEN p.acc + s.n_tok > 128
+                          THEN s.n_tok ELSE p.acc + s.n_tok END
+              FROM sent s JOIN packed p
+                ON s.doc_id = p.doc_id AND s.sidx = p.sidx + 1
+            )
+            SELECT doc_id, chunk_idx,
+                   md5(string_agg(s_trim, ' ' ORDER BY sidx)) AS chunk_md5
+            FROM packed GROUP BY doc_id, chunk_idx
         """,
     }
 

@@ -38,7 +38,11 @@ BATTERY = (
 TOXICITY_LEXICON = frozenset(
     ("stultissimus", "execrabilis", "obscenus", "damnatus", "maledictus")
 )
-_TOX_WORD = re.compile(r"\w+", re.UNICODE)
+#: ASCII-alpha word class (not \\w): the lexicon itself is ASCII, so the
+#: word universe only needs ASCII runs -- and [a-z]+ means Python re and
+#: RE2-dialect engines (Spark, DuckDB) tokenize identically, keeping the
+#: operator oracle-checkable cross-engine.
+_TOX_WORD = re.compile(r"[a-z]+")
 
 
 def scrub_pii(text: str) -> tuple[str, dict]:

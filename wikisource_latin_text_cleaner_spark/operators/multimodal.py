@@ -25,7 +25,6 @@ Schemas:
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -65,22 +64,28 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, float]:  # pragma: no 
     )
 
 
+def _payload_digest_hex(payload: bytes) -> str:
+    """sha256 over the lowercase hex encoding of the payload -- a pure
+    function of the bytes that DuckDB (whose hash functions accept only
+    VARCHAR) replicates exactly as sha256(lower(hex(payload))), so the fake
+    features below are oracle-checkable cross-engine."""
+    return hashlib.sha256(payload.hex().encode()).hexdigest()
+
+
 def _decode_image_fake(payload: bytes) -> tuple[int, int, float]:
     """DETERMINISTIC FAKE decoder: derives (width, height, mean_luma) from a
     digest of the payload so tests are stable and platform-independent."""
-    d = hashlib.sha256(payload).digest()
-    width = 64 + d[0] % 192
-    height = 64 + d[1] % 192
-    mean_luma = round(int.from_bytes(d[2:4], "big") / 65535.0, 6)
+    d = _payload_digest_hex(payload)
+    width = 64 + int(d[0:2], 16) % 192
+    height = 64 + int(d[2:4], 16) % 192
+    mean_luma = round(int(d[4:8], 16) / 65535.0, 6)
     return width, height, mean_luma
 
 
 def _phash_fake(payload: bytes) -> int:
-    """64-bit perceptual-hash stand-in: crc32 of two halves packed."""
-    h = (zlib.crc32(payload[: len(payload) // 2]) << 32) | zlib.crc32(
-        payload[len(payload) // 2:]
-    )
-    return h - (1 << 63) if h >= (1 << 63) else h
+    """64-bit perceptual-hash stand-in: leading 60 bits of the payload
+    digest (always positive, so it round-trips LongType and SQL alike)."""
+    return int(_payload_digest_hex(payload)[:15], 16)
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
@@ -166,8 +171,8 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (no external data)."""
+def _synth_media_rows(n_rows: int, seed: int = 42) -> list[tuple]:
+    """Deterministic synthetic media rows (no external data)."""
     import random
 
     rng = random.Random(seed)
@@ -183,4 +188,43 @@ def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
             {"image": "png", "audio": "wav", "video": "mp4"}[mt],
         )
         rows.append((i, mt, payload, meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def synth_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (no external data)."""
+    return spark.createDataFrame(_synth_media_rows(n_rows, seed), schema=MEDIA_SCHEMA)
+
+
+def ensure_synth_media_parquet(path: str, n_rows: int, seed: int = 42) -> str:
+    """Idempotently persist the synthetic media table as one parquet file
+    (pyarrow; no Spark session needed), so a SQL oracle can scan the SAME
+    bytes the Spark query reads. Returns ``path``."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = _synth_media_rows(n_rows, seed)
+    meta_type = pa.struct([
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("duration_ms", pa.int32()), ("sample_rate", pa.int32()),
+        ("format", pa.string()),
+    ])
+    table = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "media_type": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+        "meta": pa.array(
+            [dict(zip(("width", "height", "duration_ms", "sample_rate", "format"),
+                      r[3])) for r in rows],
+            meta_type,
+        ),
+    })
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
