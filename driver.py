@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip period/genre classification columns")
     p.add_argument("--html-fallback", action="store_true",
                    help="derive text from the html column when text is null")
+    p.add_argument("--rule-metrics", action="store_true",
+                   help="record per-orthography-rule substitution counts "
+                        "in the metrics table (ref step5 per-pattern stats)")
     p.add_argument("--master", default=None,
                    help="override spark master (default: from spark-submit)")
     p.add_argument("--metrics", default=None,
@@ -97,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         pii_scrub=web,
         salt_partitions=args.salt_partitions,
         html_fallback=args.html_fallback,
+        rule_metrics=args.rule_metrics,
     )
     pipe = QualityFilterPipeline(cfg)
     pages = catalog.read_table(spark, args.input)

@@ -69,6 +69,33 @@ def test_metrics_lineage(spark, pages_df, transformed):
     assert sum(r["docs_out"] for r in totals) == kept
 
 
+def test_rule_metrics_per_pattern_counts(spark):
+    """ref A4/step5: per-orthography-rule substitution counts surface in the
+    rule_hits column and as variant:<rule> rows in the metrics table, with
+    identical counts on the fused and chained UDF paths."""
+    filler = ("gallia est omnis divisa in partes tres quarum unam incolunt "
+              "belgae aliam aquitani tertiam qui ipsorum lingua celtae. ") * 5
+    text = filler + "michi placet et michi manet liber tercius hic."
+    pages = spark.createDataFrame(
+        [("u-variant", None, None, text, "la")], synth.PAGES_SCHEMA_DDL
+    )
+    for fused in (True, False):
+        pipe = QualityFilterPipeline(PipelineConfig(
+            langid=False, classify=False, rule_metrics=True, fused=fused))
+        out = pipe.transform(pages)
+        row = out.collect()[0]
+        assert row.rule_hits["michi"] == 2, (fused, row.rule_hits)
+        assert row.rule_hits["tercius"] == 1
+        hits = {r.rule: r.rule_hits for r in pipe.metrics(out).collect()
+                if r.rule.startswith("variant:")}
+        assert hits == {"variant:michi": 2, "variant:tercius": 1}
+
+
+def test_rule_metrics_off_by_default(spark, transformed):
+    """The default transform must not carry (or compute) the map column."""
+    assert "rule_hits" not in transformed.columns
+
+
 def test_drop_reason_histogram(spark, transformed):
     hist = {r["decision"]: r["n_docs"] for r in drop_reason_histogram(transformed).collect()}
     assert hist.get("keep", 0) > 0

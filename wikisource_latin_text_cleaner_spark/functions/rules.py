@@ -153,12 +153,17 @@ class Verdict:
     keep: bool
     drop_reasons: list[str] = field(default_factory=list)
     clean_text: str = ""
+    #: per-orthography-rule substitution counts (ref A4 per-pattern stats);
+    #: None unless collect_rule_hits was requested AND the doc reached the
+    #: orthography stage
+    rule_hits: dict | None = None
 
 
 def evaluate_document(
     text: str,
     min_size_bytes: int = MIN_SIZE_BYTES,
     extensions: ExtensionConfig | None = None,
+    collect_rule_hits: bool = False,
 ) -> Verdict:
     """Full per-document decision: reference gates + optional extensions.
 
@@ -174,15 +179,18 @@ def evaluate_document(
     if looks_like_index(text):
         return Verdict(False, ["index_toc"])
 
-    staged = scrub.stage_orthography(scrub.stage_headings(scrub.stage_content(text)))
+    hits: dict | None = {} if collect_rule_hits else None
+    staged = scrub.stage_orthography(
+        scrub.stage_headings(scrub.stage_content(text)), variant_counts=hits
+    )
     if len(staged.strip()) < scrub.MIN_CLEAN_CHARS:
-        return Verdict(False, ["pre_clean_len"])
+        return Verdict(False, ["pre_clean_len"], rule_hits=hits)
     cleaned = scrub.stage_final(staged)
     if len(cleaned.strip()) < scrub.MIN_CLEAN_CHARS:
-        return Verdict(False, ["post_clean_len"])
+        return Verdict(False, ["post_clean_len"], rule_hits=hits)
 
     if extensions is not None:
         reasons = extension_reasons(cleaned, extensions)
         if reasons:
-            return Verdict(False, reasons, cleaned)
-    return Verdict(True, [], cleaned)
+            return Verdict(False, reasons, cleaned, rule_hits=hits)
+    return Verdict(True, [], cleaned, rule_hits=hits)

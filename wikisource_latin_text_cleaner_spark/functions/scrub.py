@@ -59,8 +59,14 @@ def _is_roman(token: str) -> bool:
     return bool(ROMAN_NUMERAL_CI.fullmatch(token.upper()))
 
 
-def _sub_all(text: str, battery) -> str:
+def _sub_all(text: str, battery, counts: dict | None = None) -> str:
     """Apply an ordered battery of (compiled_pattern, replacement, guards).
+
+    ``counts`` (optional dict) accumulates substitutions per rule, keyed by
+    the rule's first guard literal (its canonical name; the ref's analog is
+    the per-pattern stats standardize_orthography returns,
+    Text Cleaner/step5_standardize_orthography.py:302-338). Counting rides
+    the subn call the hot path already makes -- zero extra scans.
 
     ``guards`` is a tuple of lowercase literals such that every possible
     match of the pattern must contain at least one of them; when none occurs
@@ -87,6 +93,9 @@ def _sub_all(text: str, battery) -> str:
         text, n = pat.subn(repl, text)
         if n:
             low = None
+            if counts is not None:
+                key = guards[0] if guards else pat.pattern
+                counts[key] = counts.get(key, 0) + n
     return text
 
 
@@ -688,12 +697,14 @@ _SPACING_BATTERY = tuple(
 _DASH_FOLD = re.compile(r"[–—]")
 
 
-def stage_orthography(text: str) -> str:
+def stage_orthography(text: str, variant_counts: dict | None = None) -> str:
     """Medieval-variant, diacritic, ligature, v/j normalization + lowercase.
 
     Byte-compatible with ref step5_standardize_orthography.standardize_orthography.
+    ``variant_counts`` optionally accumulates per-rule M11 hit counts (the
+    ref's per-pattern stats, step5:302-338 / detailed_progress_logger.py:119-156).
     """
-    text = _sub_all(text, VARIANT_RULES)
+    text = _sub_all(text, VARIANT_RULES, variant_counts)
     text = text.translate(DIACRITIC_MAP)
     text = text.translate(_NFD_STRIP_TABLE)
     for a, b in LIGATURE_PAIRS:

@@ -20,6 +20,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -31,6 +32,8 @@ VERDICT_SCHEMA = StructType([
     StructField("keep", BooleanType()),
     StructField("drop_reasons", ArrayType(StringType())),
     StructField("clean_text", StringType()),
+    # per-orthography-rule substitution counts; null unless rule_metrics on
+    StructField("rule_hits", MapType(StringType(), IntegerType())),
 ])
 
 CLASSIFY_SCHEMA = StructType([
@@ -62,19 +65,23 @@ def scrub_udf(texts: pd.Series) -> pd.Series:
 
 
 def make_verdict_udf(min_size_bytes: int = rules.MIN_SIZE_BYTES,
-                     extensions: rules.ExtensionConfig | None = None):
+                     extensions: rules.ExtensionConfig | None = None,
+                     rule_metrics: bool = False):
     """Verdict UDF factory; config is captured in the closure (the Spark
     equivalent of a broadcast rule table)."""
 
     @pandas_udf(VERDICT_SCHEMA)
     def verdict_udf(texts: pd.Series) -> pd.DataFrame:
         verdicts = [
-            rules.evaluate_document(t, min_size_bytes, extensions) for t in texts
+            rules.evaluate_document(t, min_size_bytes, extensions,
+                                    collect_rule_hits=rule_metrics)
+            for t in texts
         ]
         return pd.DataFrame({
             "keep": [v.keep for v in verdicts],
             "drop_reasons": [v.drop_reasons for v in verdicts],
             "clean_text": [v.clean_text for v in verdicts],
+            "rule_hits": [v.rule_hits for v in verdicts],
         })
 
     return verdict_udf
@@ -135,6 +142,7 @@ FUSED_SCHEMA = StructType([
     StructField("lang_margin", DoubleType()),
     StructField("ppx", DoubleType()),
     StructField("pii_spans", IntegerType()),
+    StructField("rule_hits", MapType(StringType(), IntegerType())),
 ])
 
 
@@ -146,6 +154,7 @@ def make_fused_udf(
     allowed_langs: tuple = ("la",),
     ppx_threshold: float | None = None,
     pii_on: bool = False,
+    rule_metrics: bool = False,
 ):
     """Single-pass UDF computing the whole per-document pipeline.
 
@@ -161,9 +170,11 @@ def make_fused_udf(
         out: dict = {k: [] for k in (
             "keep", "drop_reasons", "clean_text", "period", "genre",
             "confidence", "lang_pred", "lang_margin", "ppx", "pii_spans",
+            "rule_hits",
         )}
         for t in texts:
-            v = rules.evaluate_document(t, min_size_bytes, extensions)
+            v = rules.evaluate_document(t, min_size_bytes, extensions,
+                                        collect_rule_hits=rule_metrics)
             keep, reasons, cleaned = v.keep, list(v.drop_reasons), v.clean_text
             period = genre = conf = None
             if classify_on:
@@ -197,6 +208,7 @@ def make_fused_udf(
             out["lang_margin"].append(lang_margin)
             out["ppx"].append(px)
             out["pii_spans"].append(spans)
+            out["rule_hits"].append(v.rule_hits)
         return pd.DataFrame(out)
 
     return fused_udf

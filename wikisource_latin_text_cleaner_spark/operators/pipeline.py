@@ -45,6 +45,11 @@ class PipelineConfig:
     #: often carry only the raw capture); the html column stays pruned from
     #: the scan when this is off
     html_fallback: bool = False
+    #: surface per-orthography-rule substitution counts (ref A4 per-pattern
+    #: stats, step5_standardize_orthography.py:302-338) as a rule_hits map
+    #: column, aggregated into the metrics table. Counting rides the subn
+    #: calls the scrub already makes -- no extra text scans.
+    rule_metrics: bool = False
 
 
 class QualityFilterPipeline:
@@ -85,7 +90,8 @@ class QualityFilterPipeline:
         if cfg.fused:
             return self._transform_fused(df)
 
-        verdict_udf = udfs.make_verdict_udf(cfg.min_size_bytes, cfg.extensions)
+        verdict_udf = udfs.make_verdict_udf(cfg.min_size_bytes, cfg.extensions,
+                                            rule_metrics=cfg.rule_metrics)
         df = df.withColumn("verdict", verdict_udf("text"))
         if cfg.classify:
             df = df.withColumn("cls", udfs.classify_udf("text"))
@@ -97,6 +103,8 @@ class QualityFilterPipeline:
             F.col("verdict.drop_reasons").alias("drop_reasons"),
             F.col("verdict.clean_text").alias("clean_text"),
             F.coalesce(F.length("text"), F.lit(0)).alias("_n_raw"),
+            *((F.col("verdict.rule_hits").alias("rule_hits"),)
+              if cfg.rule_metrics else ()),
             *(
                 (
                     F.col("cls.period").alias("period"),
@@ -156,6 +164,7 @@ class QualityFilterPipeline:
             allowed_langs=tuple(cfg.allowed_langs),
             ppx_threshold=cfg.perplexity_threshold,
             pii_on=cfg.pii_scrub,
+            rule_metrics=cfg.rule_metrics,
         )
         df = df.withColumn("v", fused("text"))
         cols = [
@@ -175,6 +184,8 @@ class QualityFilterPipeline:
             cols.append(F.col("v.ppx").alias("ppx"))
         if cfg.pii_scrub:
             cols.append(F.col("v.pii_spans").alias("pii_spans"))
+        if cfg.rule_metrics:
+            cols.append(F.col("v.rule_hits").alias("rule_hits"))
         # ref A4 counter, last column in both paths: chars removed vs the
         # final clean text (detailed_progress_logger.py:158-186 analog)
         cols.append(
@@ -224,10 +235,28 @@ class QualityFilterPipeline:
             (F.count("*") - F.sum(F.col("keep").cast("long"))).alias("docs_dropped"),
             F.sum("chars_removed").alias("chars_removed"),
         ).withColumn("rule", F.lit("_partition_total"))
-        return per_rule.unionByName(
+        out = per_rule.unionByName(
             totals.select("partition_id", "rule", "docs_dropped", "docs_in",
                           "docs_out", "chars_removed")
-        )
+        ).withColumn("rule_hits", F.lit(None).cast("long"))
+        if "rule_hits" in transformed.columns:
+            # per-orthography-rule substitution totals (ref A4 per-pattern
+            # stats): one row per (partition, variant:<rule>); the map
+            # explode is partial-aggregated before the metrics shuffle
+            variant_rows = (
+                base.select("partition_id", F.explode_outer("rule_hits")
+                            .alias("rule", "hits"))
+                .where(F.col("rule").isNotNull())
+                .groupBy("partition_id",
+                         F.concat(F.lit("variant:"), "rule").alias("rule"))
+                .agg(F.sum("hits").cast("long").alias("rule_hits"))
+                .withColumn("docs_dropped", F.lit(None).cast("long"))
+                .withColumn("docs_in", F.lit(None).cast("long"))
+                .withColumn("docs_out", F.lit(None).cast("long"))
+                .withColumn("chars_removed", F.lit(None).cast("long"))
+            )
+            out = out.unionByName(variant_rows.select(*out.columns))
+        return out
 
     def run(self, pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         out = self.transform(pages)
