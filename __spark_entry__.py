@@ -49,9 +49,13 @@ def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     """Load the documents table. ``spread=True`` round-robins the rows across
     the default parallelism: the sf* files are written as one row group, so
     without it every Arrow-UDF query would run as a single task regardless
-    of core count. Values are unaffected; only task decomposition changes."""
+    of core count. Values are unaffected; only task decomposition changes.
+
+    The repartition (a full shuffle) only fires when the scan actually
+    under-parallelizes -- a well-laid-out production table with enough
+    splits reads shuffle-free."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    if spread:
+    if spread and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rule-metrics", action="store_true",
                    help="record per-orthography-rule substitution counts "
                         "in the metrics table (ref step5 per-pattern stats)")
+    p.add_argument("--partition-by", default="",
+                   help="comma-separated output columns to physically "
+                        "partition the data by (e.g. period,genre -- the "
+                        "ref's sorted_texts/{period}/{genre}/ layout); "
+                        "requires classification unless --no-classify is "
+                        "omitted for those columns")
     p.add_argument("--master", default=None,
                    help="override spark master (default: from spark-submit)")
     p.add_argument("--metrics", default=None,
@@ -107,12 +113,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
+    part_cols = tuple(c for c in args.partition_by.split(",") if c)
     t0 = time.time()
     run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     if args.buckets >= 1:
         run_buckets = checkpoints.run_resumable(
             pipe.transform, pages, args.output, n_buckets=args.buckets,
-            resume=args.resume,
+            resume=args.resume, partition_cols=part_cols,
         )
         out = checkpoints.read_output(spark, args.output)
         # metrics scoped to exactly the buckets this invocation computed
@@ -129,7 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         # table never nests inside the scanned dataset; any prior bucketed
         # manifest is invalidated (overwritten empty) so a later --resume
         # cannot trust checkpoints that no longer describe the data
-        flat.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+        writer = flat.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(os.path.join(args.output, "data"))
         spark.createDataFrame([], "bucket int, n_buckets int").write.mode(
             "overwrite"
         ).parquet(os.path.join(args.output, "_checkpoints"))
@@ -141,11 +151,15 @@ def main(argv: list[str] | None = None) -> int:
         metrics = pipe.metrics(metrics_src).withColumn("run_ts", F.lit(run_ts))
         catalog.append(metrics, args.metrics or f"{args.output.rstrip('/')}/metrics")
 
+    # cumulative counts describe the full output table; throughput is scoped
+    # to the docs THIS invocation processed (a resume that ran 1 of 64
+    # buckets must not report the whole table's docs over its own wall time)
     stats = {
         r["k"]: r["n"]
         for r in out.groupBy(out.keep.cast("string").alias("k"))
         .count().withColumnRenamed("count", "n").collect()
     }
+    docs_processed = metrics_src.count() if metrics_src is not None else 0
     elapsed = time.time() - t0
     total = sum(stats.values())
     print(json.dumps({
@@ -153,8 +167,9 @@ def main(argv: list[str] | None = None) -> int:
         "docs_kept": stats.get("true", 0),
         "docs_quarantined": stats.get("false", 0),
         "buckets_run": n_run,
+        "docs_processed": docs_processed,
         "sec": round(elapsed, 2),
-        "docs_per_sec": round(total / elapsed, 1) if elapsed else None,
+        "docs_per_sec": round(docs_processed / elapsed, 1) if elapsed else None,
     }))
     return 0
 

@@ -105,6 +105,24 @@ def test_lsh_topk_recall_random_data(embeddings):
     assert overlap >= 0.3, (exact, approx)
 
 
+def test_lsh_topk_absolute_budget_is_sublinear(spark):
+    """The default budget is absolute, so 'ANN' can't silently become a
+    corpus-proportional scan; with a tight explicit budget on clustered
+    data the probe covers a strict subset of buckets yet keeps recall."""
+    rng = np.random.RandomState(8)
+    centers = rng.standard_normal((10, 64)) * 4
+    rows = [
+        (int(i), (centers[i % 10] + rng.standard_normal(64) * 0.3).tolist())
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = centers[3].tolist()
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.lsh_topk(df, q, k=10, probe_budget=64).collect()]
+    assert len(set(exact) & set(approx)) / 10 >= 0.8, (exact, approx)
+
+
 def test_lsh_topk_recall_clustered_data(spark):
     # on clustered embeddings (the realistic case) recall should be high
     rng = np.random.RandomState(8)

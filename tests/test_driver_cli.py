@@ -66,6 +66,33 @@ def test_driver_no_resume_recomputes_and_metrics_not_doubled(tmp_path, spark):
     assert totals.groupBy().sum("docs_in").collect()[0][0] == 600
 
 
+def test_driver_partition_by_period_genre(tmp_path, spark):
+    """ref step2_sort_by_period_genre.py:487: physical period/genre layout.
+    The written table must carry period=/genre= directories under each
+    bucket and a period filter must prune partitions at scan time."""
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    inp = str(tmp_path / "pages.parquet")
+    synth.write_pages_parquet(inp, 250, seed=31)
+    outd = str(tmp_path / "out")
+    r = _run(["--input", inp, "--output", outd, "--mode", "web",
+              "--buckets", "4", "--master", "local[4]",
+              "--partition-by", "period,genre"])
+    assert r["docs_in"] == 250
+    data_dir = os.path.join(outd, "data")
+    buckets = [d for d in os.listdir(data_dir) if d.startswith("bucket=")]
+    assert buckets
+    assert any(d.startswith("period=")
+               for d in os.listdir(os.path.join(data_dir, buckets[0])))
+
+    df = spark.read.parquet(data_dir)
+    assert df.count() == 250
+    pruned = df.where("period = 'classical'")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "period" in plan.split("PartitionFilters")[1][:200], plan
+    assert pruned.count() + df.where("period <> 'classical'").count() == 250
+
+
 def test_driver_flat_mode_output_layout(tmp_path, spark):
     from wikisource_latin_text_cleaner_spark.sources import synth
 

@@ -79,3 +79,24 @@ def test_query_matches_oracle(spark, name):
 def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0
+
+
+def test_docs_spread_skips_shuffle_on_well_partitioned_input(spark, tmp_path):
+    """spread=True exists to defuse single-row-group bench files; on input
+    that already reads with >= defaultParallelism splits it must not inject
+    an Exchange (a production 100 TB table is laid out properly)."""
+    n = spark.sparkContext.defaultParallelism
+    big_text = "verbum " * 4000  # ~28 KB/row so splits don't coalesce away
+    df = spark.range(0, 64).selectExpr(
+        "id AS doc_id", f"'{big_text}' AS text", "'la' AS lang",
+        "'s' AS source", "CAST(1 AS INT) AS n_chars",
+    )
+    df.repartition(max(n, 8)).write.parquet(str(tmp_path / "documents.parquet"))
+    out = entry_mod._docs(spark, str(tmp_path), spread=True)
+    if out.rdd.getNumPartitions() >= n:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    # and the under-parallelized case still spreads
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one") + "/documents.parquet")
+    spread = entry_mod._docs(spark, str(tmp_path / "one"), spread=True)
+    assert spread.rdd.getNumPartitions() >= n

@@ -18,6 +18,17 @@ def _spawn(args):
     )
 
 
+def test_resume_with_uncommitted_manifest_dir_recomputes(spark, tmp_path):
+    """A crash during the very first manifest write leaves _checkpoints/
+    holding only a _temporary dir; --resume must treat that as 'nothing
+    complete' and recompute, not die on schema inference."""
+    from wikisource_latin_text_cleaner_spark.plans import checkpoints
+
+    out = tmp_path / "out"
+    (out / "_checkpoints" / "_temporary").mkdir(parents=True)
+    assert checkpoints.completed_buckets(spark, str(out), 8) == set()
+
+
 def test_sigkill_mid_run_then_resume_matches_clean_run(spark, tmp_path):
     from wikisource_latin_text_cleaner_spark.sources import synth
 

@@ -185,9 +185,15 @@ def winnowing_near_duplicates(
     min_containment: float = 0.5,
     max_df: float | None = 0.2,
     persist_fingerprints: bool = True,
+    min_shared_fingerprints: int = 2,
 ) -> DataFrame:
     """Near-dup pairs by winnowing-fingerprint containment (the MOSS scheme):
-    containment = shared / min(|fps_a|, |fps_b|) >= min_containment.
+    containment = shared / min(|fps_a|, |fps_b|) >= min_containment, with an
+    absolute floor of ``min_shared_fingerprints`` shared picks. The floor
+    guards the stop-fingerprint interaction: n_fp is counted AFTER the
+    max_df filter, so two boilerplate-heavy docs left with e.g. 2 surviving
+    fingerprints each must not be flagged from a single coincidental shared
+    pick.
 
     Containment (not an absolute shared count) is what makes the verdict
     scale-free: identical tiny-vocabulary docs winnow to few distinct
@@ -244,6 +250,7 @@ def winnowing_near_duplicates(
             F.round(F.col("shared_fingerprints") / F.least("n_a", "n_b"), 4),
         )
         .where(F.col("containment") >= min_containment)
+        .where(F.col("shared_fingerprints") >= min_shared_fingerprints)
         .select("id_a", "id_b", "shared_fingerprints", "containment")
     )
 

@@ -79,6 +79,13 @@ def make_bucket_udf(hyper: np.ndarray):
     return bucket_udf
 
 
+#: Default absolute candidate budget: a CONSTANT rerank cost regardless of
+#: corpus size. At 10^12 rows this probes ~1e-7 of the corpus (true ANN); on
+#: a small corpus it degenerates to an exact scan, which is the correct
+#: behavior -- an index only pays off past the budget.
+DEFAULT_PROBE_BUDGET = 100_000
+
+
 def lsh_topk(
     df: DataFrame,
     query: list,
@@ -86,13 +93,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: int = 4,
-    probe_fraction: float = 0.3,
+    probe_budget: int | None = None,
+    probe_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k, IVF-style: hyperplane signatures partition
     the corpus into 2^planes cells; cells are probed in order of signature
-    hamming distance to the query until the candidate budget
-    (max(8k, probe_fraction * N)) is met, then candidates are exactly
-    reranked.
+    hamming distance to the query until the candidate budget is met, then
+    candidates are exactly reranked.
+
+    The budget is ABSOLUTE by default (max(8k, DEFAULT_PROBE_BUDGET)):
+    rerank cost must not scale with the corpus, or "ANN" silently becomes a
+    30%-scan at web scale. ``probe_fraction`` is an opt-in override for
+    recall-first workloads that accept corpus-proportional cost.
 
     At 10^12 rows the `_bucket` column is a table partition key, so the
     probe's `isin` prunes partitions at scan time; the bucket-count pass is
@@ -108,7 +120,11 @@ def lsh_topk(
         for r in bucketed.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
     }
     total = sum(counts.values())
-    budget = max(8 * k, int(probe_fraction * total))
+    if probe_fraction is not None:
+        budget = max(8 * k, int(probe_fraction * total))
+    else:
+        budget = max(8 * k, probe_budget if probe_budget is not None
+                     else DEFAULT_PROBE_BUDGET)
     order = sorted(counts, key=lambda b: (bin(b ^ qsig).count("1"), b))
     probe, got = [], 0
     for b in order:

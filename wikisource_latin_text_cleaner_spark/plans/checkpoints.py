@@ -40,7 +40,15 @@ def completed_buckets(spark: SparkSession, out_dir: str,
     manifest = os.path.join(out_dir, "_checkpoints")
     if not os.path.exists(manifest):
         return set()
-    df = spark.read.parquet(manifest)
+    try:
+        df = spark.read.parquet(manifest)
+    except Exception as e:  # AnalysisException and friends
+        # a crash during the very first manifest write can leave only a
+        # _temporary dir behind: no committed rows means no completed
+        # buckets -- treat like a missing manifest and recompute cleanly
+        if type(e).__name__ == "AnalysisException" or "infer schema" in str(e):
+            return set()
+        raise
     if n_buckets is not None:
         if "n_buckets" not in df.columns:
             raise ValueError(
@@ -66,6 +74,7 @@ def run_resumable(
     out_dir: str,
     n_buckets: int = 64,
     resume: bool = True,
+    partition_cols: tuple = (),
 ) -> list[int]:
     """Run `transform` over all not-yet-done buckets; returns the sorted
     list of bucket ids this call ran (empty = nothing to do), so callers
@@ -77,6 +86,14 @@ def run_resumable(
     ``resume=False`` ignores any existing manifest, truncates the data dir
     (static overwrite -- stale buckets from an older bucket scheme must not
     survive) and rewrites the manifest from scratch.
+
+    ``partition_cols`` adds physical write partitions UNDER bucket (the
+    Spark re-expression of the reference's period/genre directory layout,
+    Text Cleaner/step2_sort_by_period_genre.py:487): bucket stays the
+    outermost level so per-bucket dynamic overwrite/resume is unchanged,
+    and consumers filtering on the extra columns get partition pruning.
+    Safe under resume because the transform is deterministic: a re-run
+    bucket writes a subset-or-equal set of (bucket, cols...) partitions.
     """
     spark = pages.sparkSession
     done = completed_buckets(spark, out_dir, n_buckets) if resume else set()
@@ -101,7 +118,9 @@ def run_resumable(
         "dynamic" if (resume and done) else "static",
     )
     try:
-        result.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+        result.write.mode("overwrite").partitionBy(
+            "bucket", *partition_cols
+        ).parquet(data_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

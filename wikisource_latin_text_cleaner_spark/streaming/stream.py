@@ -38,8 +38,13 @@ def stream_pages(
 
     ``available_now=True`` drains the current backlog then stops (the batch
     parity mode used by tests); ``False`` keeps tailing the directory.
-    Output is partitioned by ``keep`` so downstream consumers prune
-    quarantined rows at scan time (same layout as the batch sink).
+
+    Layout note: the streaming sink partitions by ``kept_partition`` (a
+    STREAMING-ONLY string copy of ``keep``, see below) so consumers prune
+    quarantined rows at scan time; the batch sink instead partitions by
+    ``bucket``. A downstream union of the two tables should select the
+    shared columns explicitly (or drop ``kept_partition``/``bucket``) --
+    the tables are row-compatible, not schema-identical.
     """
     pipe = QualityFilterPipeline(config)
     pages = (
