@@ -62,6 +62,88 @@ def test_simhash_matches_numpy_oracle(docs):
     assert sigs == spark_sigs
 
 
+def _planted_corpus(n_base=300, seed=99):
+    """Distinct random-word docs + planted near-dup groups (word edits)."""
+    import random
+
+    rng = random.Random(seed)
+
+    def words(k):
+        return ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                        for _ in range(7)) for _ in range(k)]
+
+    rows = [(i, " ".join(words(60))) for i in range(n_base)]
+    nxt = n_base
+    for g in range(3):  # 3 planted groups of 4 variants each
+        base = words(60)
+        for v in range(4):
+            w = list(base)
+            for pos in range(v):  # v word edits
+                w[5 + 7 * pos] = f"editum{g}{v}{pos}"
+            rows.append((nxt, " ".join(w)))
+            nxt += 1
+    return rows
+
+
+@pytest.mark.parametrize("blocks", [4, 6])
+def test_simhash_block_banding_is_exhaustive(spark, blocks):
+    """Manku block-combination banding must return EXACTLY the all-pairs
+    hamming<=3 truth at any blocks setting (pigeonhole guarantee), on a
+    corpus with planted near-dup cliques."""
+    rows = _planted_corpus()
+    sigs = {i: dedup._simhash64(t) for i, t in rows}
+    truth = {
+        (a, b)
+        for ai, a in enumerate(sorted(sigs))
+        for b in sorted(sigs)[ai + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert truth, "fixture must plant at least one hamming<=3 pair"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b)
+           for r in dedup.simhash_near_duplicates(df, max_hamming=3,
+                                                  blocks=blocks).collect()}
+    assert got == truth
+
+
+def test_simhash_blocks_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_near_duplicates(None, max_hamming=4, blocks=4)
+
+
+def test_embedding_banding_recall_vs_truth(spark):
+    """Multi-band hyperplane bucketing must recover most threshold pairs a
+    single 12-plane bucket provably misses (~72% at cosine 0.95)."""
+    rng = np.random.RandomState(17)
+    base = rng.standard_normal((40, 64))
+    rows, truth_vecs = [], []
+    vid = 0
+    for i in range(40):
+        v = base[i] / np.linalg.norm(base[i])
+        for _ in range(3):  # 3 jittered copies per direction
+            u = v + rng.standard_normal(64) * 0.02
+            u = u / np.linalg.norm(u)
+            rows.append((vid, u.tolist()))
+            truth_vecs.append(u)
+            vid += 1
+    mat = np.stack(truth_vecs)
+    cos = mat @ mat.T
+    truth = {(a, b) for a in range(vid) for b in range(a + 1, vid)
+             if round(cos[a, b], 6) >= 0.95}
+    assert len(truth) >= 30
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got1 = {(r.id_a, r.id_b) for r in dedup.embedding_near_duplicates(
+        df, threshold=0.95, bands=1).collect()}
+    got8 = {(r.id_a, r.id_b) for r in dedup.embedding_near_duplicates(
+        df, threshold=0.95, bands=8).collect()}
+    assert got8 <= truth and got1 <= truth  # verification is exact
+    recall1, recall8 = len(got1) / len(truth), len(got8) / len(truth)
+    assert recall8 >= 0.85, (recall1, recall8)
+    assert recall8 >= recall1
+
+
 def test_ngram_jaccard(docs, spark):
     cands = spark.createDataFrame([(0, 1), (0, 2), (3, 4)], "id_a long, id_b long")
     out = {(r["id_a"], r["id_b"]): r["jaccard"]

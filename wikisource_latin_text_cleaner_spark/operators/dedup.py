@@ -405,33 +405,64 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 # -- SimHash near-dup ---------------------------------------------------------
 
+def _simhash_block_exprs(sim_col, blocks: int) -> list:
+    """Split the 64-bit signature into ``blocks`` contiguous blocks (widths
+    differ by at most 1 when 64 % blocks != 0). The post-shift mask keeps
+    the arithmetic sign-extension of shiftright from leaking into any
+    block, including the top one."""
+    base, extra = divmod(64, blocks)
+    exprs, start = [], 0
+    for i in range(blocks):
+        width = base + (1 if i < extra else 0)
+        mask = (1 << width) - 1
+        exprs.append(F.shiftright(sim_col, start).bitwiseAND(F.lit(mask)))
+        start += width
+    return exprs
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash banding (4x16-bit bands; any equal
-    band -> candidate; verify bit_count(xor) <= max_hamming)."""
+    """Near-dup pairs by 64-bit SimHash block-combination banding (Manku et
+    al., WWW'07): split the signature into ``blocks`` blocks and key
+    candidates on every combination of (blocks - max_hamming) blocks. A
+    pair within ``max_hamming`` differs in at most max_hamming blocks, so
+    at least one combination matches -- candidate generation is EXHAUSTIVE
+    by pigeonhole at every setting. Verification is exact
+    (bit_count(xor) <= max_hamming, JVM-side).
+
+    ``blocks`` is the scale dial (SCALE.md "SimHash banding at 10^12"):
+      - blocks=4 (default): 4 single-block keys of 16 bits -- 65k buckets,
+        fine to ~10^8 docs;
+      - blocks=6: C(6,3)=20 keys of ~32 bits -- ~4x10^9 buckets, in-bucket
+        cardinality ~250 docs at 10^12, at 20x key-explosion cost.
+    Requires max_hamming < blocks <= 64.
+    """
+    if not (0 <= max_hamming < blocks <= 64):
+        raise ValueError("need 0 <= max_hamming < blocks <= 64")
+    from itertools import combinations
+
     sigs = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sim"))
+    block_exprs = _simhash_block_exprs(F.col("sim"), blocks)
+    keys = [
+        # combination index seeds the hash so equal block VALUES in
+        # different combinations never collide into one join key
+        F.hash(*(block_exprs[i] for i in combo), F.lit(ci))
+        for ci, combo in enumerate(combinations(range(blocks), blocks - max_hamming))
+    ]
     bands_df = sigs.select(
-        "id",
-        "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sim"), b * 16).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "band_key"),
+        "id", "sim", F.explode(F.array(*keys)).alias("band_key"),
     )
-    left = bands_df.select("band", "band_key", F.col("id").alias("id_a"),
+    left = bands_df.select("band_key", F.col("id").alias("id_a"),
                            F.col("sim").alias("sim_a"))
-    right = bands_df.select("band", "band_key", F.col("id").alias("id_b"),
+    right = bands_df.select("band_key", F.col("id").alias("id_b"),
                             F.col("sim").alias("sim_b"))
     return (
-        left.join(right, ["band", "band_key"])
+        left.join(right, ["band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
@@ -488,19 +519,36 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     planes: int = 12,
     dim: int = 64,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by cosine >= threshold, bucketed by random-hyperplane
-    signature so only same-bucket pairs are compared."""
-    hyper = _SIMHASH_RNG.standard_normal((planes, dim))
+    """Near-dup pairs by cosine >= threshold: ``bands`` independent
+    random-hyperplane signatures of ``planes`` bits each; any band equality
+    makes a candidate; exact JVM-side cosine verifies.
 
-    @F.pandas_udf(LongType())
-    def bucket_udf(vecs: pd.Series) -> pd.Series:
+    Recall math (SCALE.md): a pair at cosine c disagrees on one hyperplane
+    with p = arccos(c)/pi (~0.102 at c=0.95), so one ``planes``-bit band
+    matches with (1-p)^planes (~0.28 at planes=12) -- single-band banding
+    MISSES ~72% of threshold pairs. With bands=4 recall is 1-(1-0.28)^4
+    ~= 0.73; bands=8 ~= 0.93. ``planes`` is the in-bucket-cardinality dial:
+    set planes ~= log2(N / desired_bucket_size) at scale (e.g. 27 bits for
+    10^4-row buckets at 10^12), raising bands to hold recall.
+    """
+    hyper = _SIMHASH_RNG.standard_normal((bands, planes, dim))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
-        bits = (mat @ hyper.T) > 0
-        return pd.Series((bits * (1 << np.arange(planes))).sum(axis=1).astype(np.int64))
+        weights = 1 << np.arange(planes, dtype=np.int64)
+        out = np.empty((mat.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            bits = (mat @ hyper[b].T) > 0
+            # band index folded in so equal signatures in different bands
+            # never share a join key
+            out[:, b] = (bits * weights).sum(axis=1) * bands + b
+        return pd.Series(list(out))
 
     sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     bucket_udf(vec_col).alias("bucket"))
+                     F.explode(buckets_udf(vec_col)).alias("bucket"))
     a = sigs.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = sigs.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0),
