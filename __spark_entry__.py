@@ -527,9 +527,13 @@ def q_simhash_pairs(spark, sf):
 
 
 def q_knn_lsh(spark, sf):
-    """IVF/LSH approximate top-10 (ANN scale path)."""
+    """IVF/LSH approximate top-10 (ANN scale path). Oracle-backed: below
+    the absolute candidate budget (the testdata corpora) the probe covers
+    every bucket, so the result is provably the exact top-k -- the oracle
+    is the same exact-cosine SQL as knn_bruteforce. round_to=4 for the same
+    1-ulp selection-boundary reason (see q_knn_bruteforce)."""
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return similarity.lsh_topk(e, _KNN_QUERY, k=10)
+    return similarity.lsh_topk(e, _KNN_QUERY, k=10, round_to=4)
 
 
 def q_embedding_near_dups(spark, sf):
@@ -841,6 +845,17 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE round(len(list_intersect(g_a, g_b)) * 1.0
                   / len(list_distinct(list_concat(g_a, g_b))), 4) >= 0.8
+        """,
+        "knn_lsh": f"""
+            -- identical to knn_bruteforce: below the absolute probe budget
+            -- the LSH path provably probes every bucket (exact result)
+            SELECT vec_id,
+                   round(list_dot_product(embedding, {_KNN_SQL_VEC})
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product({_KNN_SQL_VEC}, {_KNN_SQL_VEC}))), 4)
+                     AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "toxicity_stats": f"""
             SELECT lang,

@@ -47,16 +47,28 @@ def test_sigkill_mid_run_then_resume_matches_clean_run(spark, tmp_path):
     clean_stats = json.loads(line)
     assert p.returncode == 0
 
-    # killed run: SIGKILL while the JVM is mid-job (after startup, before
-    # the ~60s completion). If the process beat the kill, the test still
-    # validates resume-on-complete (buckets_run==0 path).
+    # killed run: SIGKILL in the window where the data write has started
+    # but the checkpoint manifest is not yet committed -- watching the
+    # output dirs instead of sleeping a fixed 25s keeps the kill mid-run on
+    # slow AND fast boxes (a late kill after the manifest write makes
+    # resume legitimately find nothing to do). If the process beat the
+    # kill, the test still validates resume-on-complete (buckets_run==0).
     kill_out = str(tmp_path / "killed")
     p = _spawn(common(kill_out))
-    time.sleep(25)
-    killed = p.poll() is None
-    if killed:
-        p.send_signal(signal.SIGKILL)
-    p.wait(timeout=60)
+    ckpt = os.path.join(kill_out, "_checkpoints")
+    data = os.path.join(kill_out, "data")
+    killed = False
+    deadline = time.time() + 240
+    while time.time() < deadline and p.poll() is None:
+        if os.path.isdir(data) and not os.path.isdir(ckpt):
+            try:
+                p.send_signal(signal.SIGKILL)
+                killed = True
+            except ProcessLookupError:
+                pass
+            break
+        time.sleep(0.2)
+    p.wait(timeout=120)
 
     # resume
     p = _spawn(common(kill_out))

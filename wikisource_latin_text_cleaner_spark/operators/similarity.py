@@ -95,6 +95,7 @@ def lsh_topk(
     planes: int = 4,
     probe_budget: int | None = None,
     probe_fraction: float | None = None,
+    round_to: int = 6,
 ) -> DataFrame:
     """Approximate cosine top-k, IVF-style: hyperplane signatures partition
     the corpus into 2^planes cells; cells are probed in order of signature
@@ -137,7 +138,7 @@ def lsh_topk(
         bucketed.where(F.col("_bucket").isin(probe))
         .select(
             F.col(id_col),
-            F.round(cosine_similarity_col(F.col(vec_col), query), 6).alias("cosine"),
+            F.round(cosine_similarity_col(F.col(vec_col), query), round_to).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
