@@ -99,9 +99,14 @@ def main() -> None:
     qmap = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # Warmup: spin up Python UDF workers + JIT the scan path so the first
-    # timed query doesn't pay one-time costs.
-    force(spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200))
+    # Warmup: spin up the Arrow Python UDF worker pool (one per core -- the
+    # first pandas-UDF query otherwise absorbs ~3-4s of fork/import cost) +
+    # JIT the scan path, so timed queries measure steady-state work.
+    from wikisource_latin_text_cleaner_spark.operators import dedup as _dedup
+
+    warm = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    force(warm)
+    force(warm.repartition(CPUS).select(_dedup.minhash_udf("text")))
 
     for name in HEADLINE:
         t0 = time.perf_counter()
