@@ -63,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "ref's sorted_texts/{period}/{genre}/ layout); "
                         "requires classification unless --no-classify is "
                         "omitted for those columns")
+    p.add_argument("--stages", default="",
+                   help="comma-separated scrub stage subset "
+                        "(content,headings,orthography,final) -- re-run only "
+                        "those stages over a table whose text column holds "
+                        "an intermediate stage's output (ref --steps "
+                        "suffix re-run, clean_texts_v2.py:195-211). "
+                        "Gates/classification are skipped in this mode.")
     p.add_argument("--master", default=None,
                    help="override spark master (default: from spark-submit)")
     p.add_argument("--metrics", default=None,
@@ -113,12 +120,32 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import functions as F
 
+    if args.stages:
+        # stage-subset re-run (ref --steps suffix): rewrite the text column
+        # through the selected scrub stages only; output keeps the pages
+        # shape so a later full/suffix run can consume it directly
+        from wikisource_latin_text_cleaner_spark.functions import udfs
+
+        stage_udf = udfs.make_scrub_stages_udf(
+            tuple(s for s in args.stages.split(",") if s)
+        )
+
+        def stage_transform(df):
+            return df.select(
+                "url", "warc_ts", stage_udf("text").alias("text"), "lang"
+            )
+
+        pipe = None
+        transform = stage_transform
+    else:
+        transform = pipe.transform
+
     part_cols = tuple(c for c in args.partition_by.split(",") if c)
     t0 = time.time()
     run_ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     if args.buckets >= 1:
         run_buckets = checkpoints.run_resumable(
-            pipe.transform, pages, args.output, n_buckets=args.buckets,
+            transform, pages, args.output, n_buckets=args.buckets,
             resume=args.resume, partition_cols=part_cols,
         )
         out = checkpoints.read_output(spark, args.output)
@@ -131,7 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         n_run = len(run_buckets) if run_buckets else 0
     else:
-        flat = pipe.transform(pages)
+        flat = transform(pages)
         # same <output>/data layout as the bucketed path, so the metrics
         # table never nests inside the scanned dataset; any prior bucketed
         # manifest is invalidated (overwritten empty) so a later --resume
@@ -147,18 +174,21 @@ def main(argv: list[str] | None = None) -> int:
         metrics_src = out
         n_run = -1
 
-    if metrics_src is not None:
+    if metrics_src is not None and pipe is not None:
         metrics = pipe.metrics(metrics_src).withColumn("run_ts", F.lit(run_ts))
         catalog.append(metrics, args.metrics or f"{args.output.rstrip('/')}/metrics")
 
     # cumulative counts describe the full output table; throughput is scoped
     # to the docs THIS invocation processed (a resume that ran 1 of 64
     # buckets must not report the whole table's docs over its own wall time)
-    stats = {
-        r["k"]: r["n"]
-        for r in out.groupBy(out.keep.cast("string").alias("k"))
-        .count().withColumnRenamed("count", "n").collect()
-    }
+    if "keep" in out.columns:
+        stats = {
+            r["k"]: r["n"]
+            for r in out.groupBy(out.keep.cast("string").alias("k"))
+            .count().withColumnRenamed("count", "n").collect()
+        }
+    else:  # stage-subset mode: every row passes through
+        stats = {"true": out.count()}
     docs_processed = metrics_src.count() if metrics_src is not None else 0
     elapsed = time.time() - t0
     total = sum(stats.values())

@@ -93,6 +93,30 @@ def test_driver_partition_by_period_genre(tmp_path, spark):
     assert pruned.count() + df.where("period <> 'classical'").count() == 250
 
 
+def test_driver_stage_suffix_rerun(tmp_path, spark):
+    """ref clean_texts_v2.py:195-211 (--steps suffix re-run): running
+    content+headings, then orthography+final over the intermediate output,
+    must byte-equal the full composition in one pass."""
+    from wikisource_latin_text_cleaner_spark.functions import scrub
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    inp = str(tmp_path / "pages.parquet")
+    synth.write_pages_parquet(inp, 120, seed=37)
+    mid, out = str(tmp_path / "mid"), str(tmp_path / "out")
+    _run(["--input", inp, "--output", mid, "--buckets", "0",
+          "--master", "local[4]", "--stages", "content,headings"])
+    r = _run(["--input", os.path.join(mid, "data"), "--output", out,
+              "--buckets", "0", "--master", "local[4]",
+              "--stages", "orthography,final"])
+    assert r["docs_in"] == 120
+    got = {r.url: r.text
+           for r in spark.read.parquet(os.path.join(out, "data")).collect()}
+    src = {r.url: r.text for r in spark.read.parquet(inp).collect()}
+    assert got.keys() == src.keys()
+    for url, text in src.items():
+        assert got[url] == scrub.scrub_document(text or ""), url
+
+
 def test_driver_flat_mode_output_layout(tmp_path, spark):
     from wikisource_latin_text_cleaner_spark.sources import synth
 

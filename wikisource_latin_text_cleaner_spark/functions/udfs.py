@@ -64,6 +64,42 @@ def scrub_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: scrub.scrub_document(t or ""))
 
 
+#: scrub stage name -> function, in canonical composition order
+#: (ref steps 3,4,5,6 -- Text Cleaner/clean_texts_v2.py:242-251)
+SCRUB_STAGES = (
+    ("content", scrub.stage_content),
+    ("headings", scrub.stage_headings),
+    ("orthography", scrub.stage_orthography),
+    ("final", scrub.stage_final),
+)
+
+
+def make_scrub_stages_udf(stages: tuple):
+    """UDF applying a SUBSET of scrub stages in canonical order -- the
+    engine's analog of the reference's step-suffix re-run (--steps 4,5,6,
+    Text Cleaner/clean_texts_v2.py:195-211): re-process a table whose text
+    column already holds an intermediate stage's output. One fused
+    ArrowEvalPython stage regardless of how many stages are selected."""
+    known = {name for name, _ in SCRUB_STAGES}
+    unknown = set(stages) - known
+    if unknown:
+        raise ValueError(f"unknown scrub stages {sorted(unknown)}; "
+                         f"choose from {sorted(known)}")
+    fns = [fn for name, fn in SCRUB_STAGES if name in stages]
+
+    @pandas_udf(StringType())
+    def scrub_stages_udf(texts: pd.Series) -> pd.Series:
+        def run(t):
+            t = t or ""
+            for fn in fns:
+                t = fn(t)
+            return t
+
+        return texts.map(run)
+
+    return scrub_stages_udf
+
+
 def make_verdict_udf(min_size_bytes: int = rules.MIN_SIZE_BYTES,
                      extensions: rules.ExtensionConfig | None = None,
                      rule_metrics: bool = False):
