@@ -31,6 +31,7 @@ from wikisource_latin_text_cleaner_spark.functions import html as htmlx  # noqa:
 from wikisource_latin_text_cleaner_spark.operators import (  # noqa: E402
     dedup,
     multimodal,
+    sampling,
     segment,
     similarity,
     textstats,
@@ -389,6 +390,41 @@ def q_vocabulary_top100(spark, sf):
     return segment.vocabulary(_docs(spark, sf), top_n=100)
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup duplicate CLUSTERS: verified n-gram Jaccard pairs ->
+    connected components (min-label propagation); one (doc_id, cluster_id)
+    row per clustered doc. Oracle: recursive-CTE transitive closure over
+    the all-pairs exact truth."""
+    d = _docs(spark, sf, spread=True).select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_near_duplicates(d, n=3, threshold=0.8)
+    return dedup.duplicate_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+def q_hash_split_counts(spark, sf):
+    """Deterministic hash-based train/val/test split (stable across runs,
+    engines, and cluster sizes -- no leakage through re-shuffles)."""
+    d = _docs(spark, sf)
+    split = sampling.hash_split(d, "doc_id",
+                                {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_domain_cap(spark, sf):
+    """Per-domain quota cap (domain balancing): keep the k smallest doc_ids
+    per source, report survivors per source."""
+    d = _docs(spark, sf)
+    capped = sampling.domain_cap(d, "source", k=50)
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ---- non-SQL-expressible ops (rows-only driver check) ----------------------
 
 
@@ -579,6 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "char_chunks": q_char_chunks,
         "vocabulary_top100": q_vocabulary_top100,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_split_counts": q_hash_split_counts,
+        "domain_cap": q_domain_cap,
         # non-SQL-expressible (rows-only)
         "sentence_chunks": q_sentence_chunks,
         "bpe_token_stats": q_bpe_token_stats,
@@ -845,6 +884,64 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE round(len(list_intersect(g_a, g_b)) * 1.0
                   / len(list_distinct(list_concat(g_a, g_b))), 4) >= 0.8
+        """,
+        "dedup_clusters": """
+            -- transitive closure (min reachable id) over the ALL-pairs
+            -- exact n-gram truth: one row per doc in any >=0.8 pair
+            WITH RECURSIVE grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_transform(
+                         range(0, greatest(len(string_split_regex(lower(text), '\\s+')) - 3, 0) + 1),
+                         i -> array_to_string(
+                                list_slice(string_split_regex(lower(text), '\\s+'),
+                                           i + 1, i + 3), ' ')))
+                       AS g
+              FROM documents
+            ),
+            rawpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.g, b.g)) * 1.0
+                    / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM rawpairs
+              UNION
+              SELECT id_b, id_a FROM rawpairs
+            ),
+            walk AS (
+              SELECT s AS id, d AS reach FROM edges
+              UNION
+              SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s
+            )
+            SELECT id AS doc_id,
+                   CAST(least(id, min(reach)) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY id
+        """,
+        "hash_split_counts": f"""
+            WITH b AS (
+              SELECT n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {sampling.SPLIT_BUCKETS} AS bucket
+              FROM documents
+            )
+            SELECT CASE WHEN bucket < {int(0.8 * sampling.SPLIT_BUCKETS)} THEN 'train'
+                        WHEN bucket < {int(0.9 * sampling.SPLIT_BUCKETS)} THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM b GROUP BY 1
+        """,
+        "domain_cap": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM (
+              SELECT source, n_chars,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 50
+            GROUP BY source
         """,
         "knn_lsh": f"""
             -- identical to knn_bruteforce: below the absolute probe budget

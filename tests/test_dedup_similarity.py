@@ -282,6 +282,59 @@ def test_minhash_band_candidates_are_bucketed_not_allpairs(spark):
     assert dedup.minhash_band_candidates(df).count() == 0
 
 
+def test_duplicate_clusters_merges_chains(spark):
+    """a~b and b~c (but never a~c verified) must land in ONE cluster with
+    cluster_id = min id -- the case single-level transitivity misses."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (9, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 10: 7, 11: 7}
+
+
+def test_duplicate_clusters_long_path_converges(spark):
+    """A 40-node path needs ~diameter rounds of label propagation; the
+    convergence check (not a fixed round count) must finish it."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id
+           for r in dedup.duplicate_clusters(pairs, max_iter=50).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_hash_split_stable_and_partitioning_invariant(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    d = spark.range(0, 2000).selectExpr("id AS doc_id")
+    s1 = {r.doc_id: r.split for r in
+          sampling.hash_split(d, "doc_id", {"a": 0.5, "b": 0.5}).collect()}
+    s2 = {r.doc_id: r.split for r in
+          sampling.hash_split(d.repartition(13), "doc_id",
+                              {"a": 0.5, "b": 0.5}).collect()}
+    assert s1 == s2  # same key -> same split regardless of partitioning
+    frac_a = sum(1 for v in s1.values() if v == "a") / len(s1)
+    assert 0.45 < frac_a < 0.55
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.hash_split(d, "doc_id", {"a": 0.9, "b": 0.9})
+
+
+def test_domain_cap_keeps_k_smallest(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    rows = [(i, "dom%d" % (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.domain_cap(df, "source", k=2).collect()
+    by_dom: dict = {}
+    for r in out:
+        by_dom.setdefault(r.source, []).append(r.doc_id)
+    assert {d: sorted(v) for d, v in by_dom.items()} == {
+        "dom0": [0, 3], "dom1": [1, 4], "dom2": [2, 5]}
+
+
 def test_signature_kernels_bounded_memory_on_huge_doc():
     """A multi-MB outlier document must not blow up executor Python-worker
     memory: the one-shot formulation allocated a (64 x n_shingles) int64

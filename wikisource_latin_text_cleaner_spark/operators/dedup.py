@@ -561,6 +561,63 @@ def ngram_jaccard_pairs(
     )
 
 
+# -- duplicate clustering (connected components over near-dup pairs) ----------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster_id)
+    with cluster_id = the smallest doc id reachable from id. One row per
+    node that appears in at least one pair.
+
+    Single-level transitivity (drop b if (a,b) verified) under-merges
+    chains a~b~c where (a,c) was never verified; cluster-level dedup keeps
+    exactly one doc per component. Algorithm: min-label propagation --
+    label(v) <- min(label(v), min label of neighbors) to fixpoint. Each
+    round is one shuffle join on uniform id keys; rounds needed = graph
+    diameter (near-dup clusters are dense, typically 2-3). The driver-side
+    loop runs O(diameter) tiny Spark jobs, NOT per-row work; convergence is
+    checked with a count of changed labels. ``max_iter`` bounds adversarial
+    chain graphs (a 10^6-long path is not a duplicate cluster shape).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).distinct()
+    edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("changed"),
+            )
+        )
+        # localCheckpoint truncates the lineage so plan size stays O(1)
+        # across iterations instead of doubling each round
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 # -- embedding-cosine near-dup ------------------------------------------------
 
 def embedding_near_duplicates(

@@ -1,0 +1,85 @@
+"""Corpus sampling operators for training-data assembly: deterministic
+hash-based train/val/test splits and per-domain quota capping.
+
+No reference precedent (the reference emits whole corpora); these are the
+standard last-mile ops a pretraining pipeline runs after the quality filter
+(task brief scope). Both are pure Catalyst expressions, deterministic under
+re-runs and resumes (a requirement the engine's checkpointing already
+imposes: same input -> same bytes), and exactly replicable in ANSI SQL, so
+both carry DuckDB oracles in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space for split assignment; 10^4 gives 0.01% split granularity
+SPLIT_BUCKETS = 10_000
+
+
+def split_bucket_col(key_col) -> F.Column:
+    """Deterministic [0, SPLIT_BUCKETS) bucket from the md5 of the key.
+
+    md5 (not xxhash64/crc32) because it is the one hash every engine in the
+    toolchain computes identically -- the assignment can be re-derived in
+    SQL, pandas, or a downstream system without shipping code. The first 8
+    hex chars (32 bits) are plenty of entropy for 10^4 buckets.
+    """
+    return (
+        F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % SPLIT_BUCKETS
+    )
+
+
+def hash_split(df: DataFrame, key_col: str, fractions: dict) -> DataFrame:
+    """Assign every row a stable split label by hashed key.
+
+    ``fractions`` maps label -> fraction (must sum to <= 1.0; any remainder
+    falls into the LAST label). Rows with the same key always land in the
+    same split, across runs, engines, and cluster sizes -- the property
+    random() sampling cannot give and training pipelines need (no
+    train/test leakage through re-shuffles).
+    """
+    total = sum(fractions.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    bucket = split_bucket_col(F.col(key_col))
+    expr = None
+    cum = 0.0
+    labels = list(fractions.items())
+    for name, frac in labels[:-1]:
+        cum += frac
+        cond = bucket < int(round(cum * SPLIT_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    k: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` rows per domain (deterministic: the k smallest
+    ``order_col`` values win) -- the standard domain-balancing step that
+    stops a handful of mega-domains from dominating a training mix.
+
+    Plan: one hash-partition by domain + per-partition sort (window
+    row_number), no global sort. Zipfian domains make this window the
+    skew-prone spot at 10^12 rows: AQE skew-join splitting does not apply
+    to windows, so for the extreme tier pre-filter heavy hitters with
+    `skew.heavy_hitters` and cap them via the salted two-phase trick
+    (per-salt cap k, then exact cap on the k x n_salts survivors) before
+    windowing the long tail.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
