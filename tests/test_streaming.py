@@ -32,6 +32,49 @@ def test_stream_matches_batch(spark, tmp_path):
     assert len(s) == 150
 
 
+def test_windowed_event_counts_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Watermarked event-time windowed agg: the same expression tree over a
+    readStream drain (complete mode, multiple micro-batches) must equal the
+    batch evaluation -- and late data within the watermark is still
+    counted because complete mode re-emits finalized windows."""
+    import shutil
+    import uuid
+
+    from wikisource_latin_text_cleaner_spark.streaming.stream import (
+        windowed_event_counts,
+    )
+
+    batch_events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    in_dir = str(tmp_path / "events_in")
+    # several files -> several micro-batches, so the watermark actually
+    # advances between triggers
+    batch_events.repartition(4).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    table = f"winagg_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.window_start, r.event_type): r.n_events
+           for r in spark.sql(f"SELECT * FROM {table}").collect()}
+    want = {(r.window_start, r.event_type): r.n_events
+            for r in windowed_event_counts(batch_events).collect()}
+    assert got == want and len(want) > 0
+    spark.catalog.dropTempView(table)
+    shutil.rmtree(in_dir, ignore_errors=True)
+
+
 def test_stream_resume_is_exactly_once(spark, tmp_path):
     """New files after a drain are processed once; old files never redone."""
     in_dir = str(tmp_path / "in")

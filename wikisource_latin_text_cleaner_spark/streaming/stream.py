@@ -71,3 +71,35 @@ def stream_pages(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_event_counts(
+    events,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """Event-time windowed counts with a watermark -- the late-data-tolerant
+    streaming analog of the batch `events_hourly` query (A4 counters over a
+    continuous feed). Works on a streaming OR batch DataFrame (the same
+    expression tree runs in both; batch ignores the watermark), so tests
+    assert stream==batch parity directly.
+
+    Watermark semantics: events later than ``watermark`` behind the max
+    observed event time are dropped from their window instead of blocking
+    state forever -- state size is bounded by (watermark / window) keys per
+    group, independent of stream length.
+    """
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (with zone); parquet event feeds often
+    # carry TIMESTAMP_NTZ -- cast applies to both stream and batch sides so
+    # parity holds
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events")
+    )
