@@ -303,6 +303,16 @@ def test_duplicate_clusters_long_path_converges(spark):
     assert set(got.values()) == {0} and len(got) == 41
 
 
+def test_duplicate_clusters_raises_instead_of_silent_partial(spark):
+    """Hitting max_iter mid-propagation must fail loudly, never return
+    half-merged clusters."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iter=3)
+
+
 def test_hash_split_stable_and_partitioning_invariant(spark):
     from wikisource_latin_text_cleaner_spark.operators import sampling
 

@@ -614,6 +614,13 @@ def duplicate_clusters(
         labels = new_labels.drop("changed")
         if changed == 0:
             break
+    else:
+        # labels are still moving: returning them would silently mis-cluster
+        edges.unpersist()
+        raise ValueError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds it); raise max_iter"
+        )
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
