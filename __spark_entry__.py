@@ -572,8 +572,25 @@ def q_knn_lsh(spark, sf):
     return similarity.lsh_topk(e, _KNN_QUERY, k=10, round_to=4)
 
 
+def q_knn_ivf(spark, sf):
+    """Learned-centroid IVF approximate top-10 (spherical k-means cells,
+    operators/similarity.py:ivf_topk). Oracle-backed the same way as
+    knn_lsh: below the absolute candidate budget every cell is probed, so
+    the result is provably the exact top-k and the oracle is the
+    brute-force SQL. Sublinear probing is asserted by the clustered-data
+    unit test with an explicit small budget."""
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.ivf_topk(e, _KNN_QUERY, k=10, round_to=4)
+
+
 def q_embedding_near_dups(spark, sf):
-    """Embedding-cosine near-dup pairs (>= 0.95) via hyperplane buckets."""
+    """Embedding-cosine near-dup pairs (>= 0.95) via multi-band hyperplane
+    buckets. The oracle verifies ALL pairs exactly (125k at oracle scale)
+    rather than replicating the banding, so any false positive from the
+    bucket join shows as a mismatch; recall against planted same-direction
+    vectors is covered by test_embedding_banding_recall_vs_truth (the
+    testdata embeddings themselves contain no pair above cosine 0.52, so
+    both sides are empty here by ground truth, not by construction)."""
     e = spark.read.parquet(f"{sf}/embeddings.parquet")
     return dedup.embedding_near_duplicates(e, threshold=0.95)
 
@@ -632,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_count": q_minhash_dedup_count,
         "simhash_pairs": q_simhash_pairs,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "classify_periods": q_classify_periods,
     }
@@ -953,6 +971,31 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "knn_ivf": f"""
+            -- identical to knn_bruteforce: below the absolute probe budget
+            -- the IVF path provably probes every k-means cell (exact result)
+            SELECT vec_id,
+                   round(list_dot_product(embedding, {_KNN_SQL_VEC})
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product({_KNN_SQL_VEC}, {_KNN_SQL_VEC}))), 4)
+                     AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_near_dups": """
+            -- ALL-pairs exact truth (not a re-implementation of the
+            -- banding): any bucket-join false positive or verified-pair
+            -- miss at >= 0.95 shows as a mismatch
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.95
         """,
         "toxicity_stats": f"""
             SELECT lang,

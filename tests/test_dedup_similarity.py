@@ -434,3 +434,50 @@ def test_winnowing_identical_tiny_vocab_docs_pair(spark):
     pairs = {(r.id_a, r.id_b) for r in
              dedup.winnowing_near_duplicates(df, max_df=None).collect()}
     assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    rng = np.random.RandomState(8)
+    centers = rng.standard_normal((10, 64)) * 4
+    rows = [
+        (int(i), (centers[i % 10] + rng.standard_normal(64) * 0.3).tolist())
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    return df, centers
+
+
+def test_ivf_topk_exact_below_budget(embeddings):
+    # default budget >> corpus: every cell probed, result == brute force
+    exact = similarity.brute_force_topk(embeddings, QUERY, k=10).collect()
+    approx = similarity.ivf_topk(embeddings, QUERY, k=10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in approx] == \
+           [(r["vec_id"], r["cosine"]) for r in exact]
+
+
+def test_ivf_topk_sublinear_probe_high_recall(clustered_vecs):
+    """Tight budget: probes a strict subset of cells, still finds the
+    query's cluster (learned cells align with the data)."""
+    df, centers = clustered_vecs
+    q = centers[3].tolist()
+    cents = similarity.train_ivf_centroids(df, n_cells=16, sample_rows=500)
+    bucketed = df.withColumn("_cell", similarity.make_cell_udf(cents)("embedding"))
+    n_cells_used = bucketed.select("_cell").distinct().count()
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(df, q, k=10, centroids=cents, probe_budget=64).collect()]
+    assert len(set(exact) & set(approx)) / 10 >= 0.9, (exact, approx)
+    # and the probe really was sublinear: budget 64 << 500 rows means at
+    # most a few of the occupied cells were scanned
+    per_cell = 500 / n_cells_used
+    assert 64 < 500 - per_cell, "budget must exclude at least one cell"
+
+
+def test_ivf_centroids_deterministic_and_normalized(clustered_vecs):
+    df, _ = clustered_vecs
+    c1 = similarity.train_ivf_centroids(df, n_cells=8, sample_rows=500)
+    c2 = similarity.train_ivf_centroids(df, n_cells=8, sample_rows=500)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 64)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)

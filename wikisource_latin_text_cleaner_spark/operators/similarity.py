@@ -143,3 +143,129 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+# -- IVF: learned-centroid ANN ------------------------------------------------
+#
+# Random hyperplanes (lsh_topk) ignore the data distribution; real embedding
+# corpora are clustered, so k-means cells put far fewer candidates in the
+# query's neighborhood cells. Training is a bounded driver-side pass (same
+# shape as the BPE trainer: distributed sample -> small numpy problem);
+# assignment and probing are embarrassingly parallel.
+
+_IVF_RNG_SEED = 31337
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 64,
+    vec_col: str = "embedding",
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = _IVF_RNG_SEED,
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded sample.
+
+    The sample is capped at ``sample_rows`` no matter the corpus size, so
+    driver memory is constant (100k x 64 float64 = 51 MB); at 10^12 rows
+    pass a `df.sample(fraction, seed)` slice in. kmeans++ init + Lloyd
+    iterations, all numpy; empty cells are reseeded to the point farthest
+    from every centroid, so exactly ``n_cells`` centroids come back.
+    """
+    rows = df.select(vec_col).limit(sample_rows).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = x.shape[0]
+    n_cells = min(n_cells, n)
+    rng = np.random.RandomState(seed)
+
+    # kmeans++ on cosine distance (1 - dot on unit vectors)
+    centers = [x[rng.randint(n)]]
+    for _ in range(1, n_cells):
+        d = 1.0 - np.max(x @ np.stack(centers).T, axis=1)
+        d = np.maximum(d, 0.0)
+        probs = d / d.sum() if d.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(x[rng.choice(n, p=probs)])
+    c = np.stack(centers)
+
+    for _ in range(iters):
+        sims = x @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members) == 0:
+                c[j] = x[int(np.argmin(sims.max(axis=1)))]
+            else:
+                m = members.sum(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return c
+
+
+def make_cell_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment (argmax dot on unit vectors)."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(LongType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ c.T).argmax(axis=1).astype(np.int64))
+
+    return cell_udf
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 64,
+    centroids: np.ndarray | None = None,
+    probe_budget: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k with learned (k-means) cells: probe cells in
+    order of centroid similarity to the query until the candidate budget is
+    met, then exactly rerank the probed cells.
+
+    Same absolute-budget contract as lsh_topk (max(8k, 100k) candidates):
+    rerank cost stays constant as the corpus grows. Below the budget every
+    cell is probed and the result is EXACTLY brute_force_topk -- which is
+    what the knn_ivf driver oracle checks; sublinearity is asserted by the
+    clustered-data unit test with a small explicit budget. At 10^12 rows
+    persist `_cell` as the table's partition key (write once, query many):
+    the probe's isin() prunes partitions at scan time, and the per-query
+    cost is the cell-count aggregate (n_cells rows) + the probed scan.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_cells=n_cells, vec_col=vec_col)
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    cell_udf = make_cell_udf(centroids)
+    bucketed = df.withColumn("_cell", cell_udf(vec_col))
+    counts = {
+        r["_cell"]: r["n"]
+        for r in bucketed.groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    }
+    budget = max(8 * k, probe_budget if probe_budget is not None
+                 else DEFAULT_PROBE_BUDGET)
+    qsim = c @ q
+    order = sorted(counts, key=lambda j: (-qsim[j], j))
+    probe, got = [], 0
+    for j in order:
+        probe.append(j)
+        got += counts[j]
+        if got >= budget:
+            break
+
+    return (
+        bucketed.where(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity_col(F.col(vec_col), query), round_to).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
