@@ -456,8 +456,12 @@ def q_sentence_chunks(spark, sf):
 
 def q_winnowing_pairs(spark, sf):
     """Rolling-hash winnowing fingerprints (Schleimer et al. 2003): pairs
-    with fingerprint containment >= 0.5. Rows-only (positional rolling hash is not
-    reasonably SQL-expressible)."""
+    with fingerprint containment >= 0.5. Oracle-backed by a full independent
+    SQL re-derivation: the polynomial rolling hash is exact HUGEINT
+    arithmetic mod 2^63 (the numpy kernel wraps int64 then masks, which is
+    the same residue), the window-min is a SQL window frame, and the
+    stop-fingerprint/containment logic is plain relational algebra -- a
+    cross-engine differential check of every stage of the operator."""
     d = _docs(spark, sf, spread=True)
     return dedup.winnowing_near_duplicates(d, min_containment=0.5)
 
@@ -971,6 +975,55 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "winnowing_pairs": """
+            WITH t AS (
+              SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                     CAST((
+                        CAST(unicode(substr(t, CAST(u.i AS INT), 1)) AS HUGEINT) * 1000012000054000108000081::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+1, 1)) AS HUGEINT) * 1000009000027000027::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+2, 1)) AS HUGEINT) * 1000006000009::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+3, 1)) AS HUGEINT) * 1000003::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+4, 1)) AS HUGEINT)
+                     ) % 9223372036854775808::HUGEINT AS BIGINT) AS h
+              FROM t, UNNEST(range(1, greatest(n - 3, 1))) AS u(i)
+              WHERE n >= 5
+            ),
+            win AS (
+              SELECT doc_id, i, h,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                     count(*) OVER (PARTITION BY doc_id) AS npos
+              FROM pos
+            ),
+            fps0 AS (
+              SELECT DISTINCT doc_id AS id, wmin AS fp FROM win WHERE npos >= 4 AND i <= npos - 3
+              UNION
+              SELECT doc_id AS id, min(h) AS fp FROM win WHERE npos < 4 GROUP BY doc_id
+            ),
+            stop AS (
+              SELECT fp FROM fps0 GROUP BY fp
+              HAVING count(*) > greatest(5.0, 0.2 * (SELECT count(*) FROM documents))
+            ),
+            fps AS (
+              SELECT id, fp FROM fps0 WHERE fp NOT IN (SELECT fp FROM stop)
+            ),
+            sizes AS (SELECT id, count(*) AS n_fp FROM fps GROUP BY id),
+            shared AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fingerprints
+              FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT s.id_a, s.id_b, s.shared_fingerprints,
+                   round(s.shared_fingerprints * 1.0 / least(sa.n_fp, sb.n_fp), 4) AS containment
+            FROM shared s
+            JOIN sizes sa ON sa.id = s.id_a
+            JOIN sizes sb ON sb.id = s.id_b
+            WHERE round(s.shared_fingerprints * 1.0 / least(sa.n_fp, sb.n_fp), 4) >= 0.5
+              AND s.shared_fingerprints >= 2
         """,
         "knn_ivf": f"""
             -- identical to knn_bruteforce: below the absolute probe budget
