@@ -562,7 +562,13 @@ def q_minhash_dedup_count(spark, sf):
 
 
 def q_simhash_pairs(spark, sf):
-    """SimHash near-dup pairs (hamming <= 3)."""
+    """SimHash near-dup pairs (hamming <= 3). Oracle-backed by a full SQL
+    re-derivation: per-token FNV-1a in exact HUGEINT arithmetic (xor/mul mod
+    2^64, byte==codepoint on this ASCII corpus -- the differential itself
+    proves the assumption), occurrence-weighted bit votes, two's-complement
+    fold, then ALL-pairs bit_count(xor) <= 3 (no banding in the oracle --
+    the Manku block-combination candidates are exhaustive by pigeonhole, so
+    any recall miss would show as a row-count mismatch)."""
     return dedup.simhash_near_duplicates(_docs(spark, sf, spread=True), max_hamming=3)
 
 
@@ -975,6 +981,46 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id, u.tok
+              FROM documents, UNNEST(regexp_extract_all(lower(text), '\S+')) AS u(tok)
+            ),
+            tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+            hashed AS (
+              SELECT doc_id, cnt,
+                     list_reduce(
+                       list_prepend(14695981039346656037::HUGEINT,
+                         list_transform(range(1, length(tok) + 1),
+                           j -> CAST(unicode(substr(tok, CAST(j AS INT), 1)) AS HUGEINT))),
+                       (acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT)
+                                   % 18446744073709551616::HUGEINT) AS h
+              FROM tc
+            ),
+            bits AS (
+              SELECT doc_id, CAST(b.b AS INT) AS b,
+                     sum(CASE WHEN ((h >> CAST(b.b AS INT)) & 1::HUGEINT) = 1::HUGEINT
+                              THEN cnt ELSE -cnt END) AS vote
+              FROM hashed, UNNEST(range(0, 64)) AS b(b)
+              GROUP BY doc_id, b.b
+            ),
+            sigs0 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS s
+              FROM bits GROUP BY doc_id
+            ),
+            sigs AS (
+              SELECT d.doc_id AS id,
+                     CAST(CASE WHEN coalesce(s0.s, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                          THEN coalesce(s0.s, 0::HUGEINT) - 18446744073709551616::HUGEINT
+                          ELSE coalesce(s0.s, 0::HUGEINT) END AS BIGINT) AS sim
+              FROM documents d LEFT JOIN sigs0 s0 ON d.doc_id = s0.doc_id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM sigs a JOIN sigs b ON a.id < b.id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
         """,
         "winnowing_pairs": """
             WITH t AS (
