@@ -555,7 +555,14 @@ def q_perplexity_stats(spark, sf):
 
 
 def q_minhash_dedup_count(spark, sf):
-    """MinHash-LSH near-dup survivors count by lang."""
+    """MinHash-LSH near-dup survivors count by lang. Oracle-backed by a full
+    SQL re-derivation of the signature kernel: rolling char-5-shingle hashes
+    (HUGEINT mod 2^63), the 64 affine permutations INCLUDING the int64
+    wraparound the numpy kernel exhibits before its Mersenne mod (w mod 2^64
+    -> signed fold -> floor-mod M), then ALL-pairs signature agreement
+    >= 0.9 with smallest-id-survives -- no banding in the oracle, so a
+    banding recall miss would show as a count mismatch (cf. the ngram
+    Jaccard oracle's design)."""
     d = _docs(spark, sf, spread=True)
     kept = dedup.minhash_dedup(d, threshold=0.9)
     return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
@@ -981,6 +988,58 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "minhash_dedup_count": """
+            WITH t AS (
+              SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, CAST((
+                        CAST(unicode(substr(t, CAST(u.i AS INT), 1)) AS HUGEINT) * 1000012000054000108000081::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+1, 1)) AS HUGEINT) * 1000009000027000027::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+2, 1)) AS HUGEINT) * 1000006000009::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+3, 1)) AS HUGEINT) * 1000003::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+4, 1)) AS HUGEINT)
+                     ) % 9223372036854775808::HUGEINT AS BIGINT) AS h
+              FROM t, UNNEST(range(1, greatest(n - 3, 1))) AS u(i)
+              WHERE n >= 5
+              UNION ALL
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
+                         j -> CAST(unicode(substr(t, CAST(j AS INT), 1)) AS BIGINT))), 0) AS h
+              FROM t WHERE n < 5
+            ),
+            perms AS (
+              SELECT CAST(p.i AS INT) AS perm,
+                     CAST(([1608637543, 1273642420, 1935803229, 787846415, 996406379, 1201263688, 423734973, 415968277, 670094951, 1914837114, 669991379, 429389015, 249467211, 1972458955, 1572714584, 1433267573, 434285668, 613608296, 893664920, 648061059, 88409750, 242285877, 2018247426, 953477464, 1427830252, 1883569566, 911989542, 3344770, 780932288, 2114032572, 787716373, 504579233, 1306710476, 479546682, 106328086, 30349565, 1855189740, 99052377, 1250819633, 106406363, 480404539, 1717389823, 599121578, 200427520, 1254751708, 2034764476, 1573512144, 999745295, 1958805694, 389151678, 1224821423, 508464062, 857592371, 1642661740, 61136439, 2075460852, 396917568, 2004731385, 199502979, 1545932261, 461901619, 774414983, 732395541, 1934879561])[CAST(p.i AS INT) + 1] AS HUGEINT) AS a,
+                     CAST(([279394470, 56972561, 1927948675, 1899242072, 1999874363, 271820813, 1324556529, 1655351289, 1308306184, 68574553, 419498548, 991681409, 791274835, 1035196507, 1890440558, 787110843, 524150214, 472432043, 2126768636, 1431061255, 147697582, 744595490, 1758017741, 1679592528, 1111451555, 782698033, 698027879, 1096768899, 1338788865, 1826030589, 86191493, 893102645, 200619113, 290770691, 793943861, 134489564, 2016850622, 1470101905, 1181686489, 1931679275, 1887633569, 1697157321, 1695770557, 1832485859, 420477197, 976125790, 1811936047, 1402481934, 380072391, 302554573, 841739990, 89482491, 194249720, 1980718781, 1397283111, 1479761620, 1669356239, 1062231788, 1165435217, 170476398, 1411916852, 372593431, 1532243865, 1998256344])[CAST(p.i AS INT) + 1] AS HUGEINT) AS b
+              FROM UNNEST(range(0, 64)) AS p(i)
+            ),
+            wrapped AS (
+              SELECT s.doc_id, p.perm,
+                     (CAST(s.h AS HUGEINT) * p.a + p.b) % 18446744073709551616::HUGEINT AS w
+              FROM sh s CROSS JOIN perms p
+            ),
+            mins AS (
+              SELECT doc_id, perm, min(CAST(
+                  ((CASE WHEN w >= 9223372036854775808::HUGEINT
+                         THEN w - 18446744073709551616::HUGEINT ELSE w END)
+                   % 2305843009213693951::HUGEINT + 2305843009213693951::HUGEINT)
+                  % 2305843009213693951::HUGEINT AS BIGINT)) AS m
+              FROM wrapped GROUP BY doc_id, perm
+            ),
+            sigs AS (SELECT doc_id, list(m ORDER BY perm) AS sig FROM mins GROUP BY doc_id),
+            dups AS (
+              SELECT DISTINCT b.doc_id AS doc_id
+              FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+              WHERE round(list_sum(list_transform(range(1, 65),
+                      i -> CASE WHEN a.sig[CAST(i AS INT)] = b.sig[CAST(i AS INT)]
+                           THEN 1 ELSE 0 END)) / 64.0, 4) >= 0.9
+            )
+            SELECT d.lang, count(*) AS n_docs
+            FROM documents d LEFT JOIN dups USING (doc_id)
+            WHERE dups.doc_id IS NULL
+            GROUP BY d.lang
         """,
         "simhash_pairs": """
             WITH toks AS (
