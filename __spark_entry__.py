@@ -219,6 +219,16 @@ def q_stopword_ratio(spark, sf):
     )
 
 
+def q_dup_line_stats(spark, sf):
+    """Gopher duplicate-line character fraction per lang (JVM-side nested
+    higher-order filter; see quality.dup_line_char_fraction)."""
+    d = _docs(spark, sf, spread=True)
+    return d.groupBy("lang").agg(
+        F.round(F.avg(quality.dup_line_char_fraction(F.col("text"))), 6).alias("avg_dup_line_frac"),
+        F.sum((quality.dup_line_char_fraction(F.col("text")) > 0).cast("long")).alias("n_docs_with_dup_lines"),
+    )
+
+
 def q_mean_line_len(spark, sf):
     """Gopher mean-line-length heuristic (ref C2 line-length analysis)."""
     d = _docs(spark, sf, spread=True)
@@ -635,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "stopword_ratio": q_stopword_ratio,
         "mean_line_len": q_mean_line_len,
+        "dup_line_stats": q_dup_line_stats,
         "symbol_ratio": q_symbol_ratio,
         "mean_word_len": q_mean_word_len,
         "pii_matches": q_pii_matches,
@@ -753,6 +764,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "dup_line_stats": """
+            WITH per_line AS (
+              SELECT doc_id, lang, u.line
+              FROM (
+                SELECT doc_id, lang,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x, ' ')),
+                                   x -> x <> '') AS ls
+                FROM documents
+              ), UNNEST(ls) AS u(line)
+            ),
+            c AS (
+              SELECT doc_id, lang, line, count(*) AS cnt
+              FROM per_line GROUP BY doc_id, lang, line
+            ),
+            per_doc AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END) * 1.0
+                       / sum(cnt * length(line)) AS frac
+              FROM c GROUP BY doc_id
+            ),
+            all_docs AS (
+              SELECT d.lang, coalesce(p.frac, 0.0) AS frac
+              FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT lang, round(avg(frac), 6) AS avg_dup_line_frac,
+                   CAST(sum(CASE WHEN frac > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_docs_with_dup_lines
+            FROM all_docs GROUP BY lang
         """,
         "stopword_ratio": f"""
             SELECT lang,

@@ -1,0 +1,29 @@
+"""Spark quality Column expressions vs their pure-Python twins in rules.py
+on planted inputs (the corpus oracles only exercise the zero case for
+duplicate lines -- the synthetic documents have none)."""
+
+from pyspark.sql import functions as F
+
+from wikisource_latin_text_cleaner_spark.functions import quality, rules
+
+
+def test_dup_line_char_fraction_spark_matches_python(spark):
+    a = "duplicated boilerplate16"
+    b = "a unique line of thirty chars."
+    texts = [
+        "\n".join([a, b, a, "", "   ", a]),
+        "",
+        "one\ntwo\nthree",
+        "x y\n\tx y",          # tab-padded: NOT a duplicate under space-trim
+        "x y\n   x y",         # space-padded: duplicate
+        "\n".join(["nav bar"] * 5 + ["content line here"]),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r["frac"]
+        for r in df.select(
+            "i", F.round(quality.dup_line_char_fraction(F.col("text")), 10).alias("frac")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i] - rules.dup_line_char_fraction(t)) < 1e-9, (i, t)

@@ -114,3 +114,32 @@ def test_extension_rules():
         "hi omnes lingua institutis legibus inter se differunt multum bonum "
     ) * 3
     assert rules.extension_reasons(ok, cfg) == []
+
+
+def test_dup_line_char_fraction_python_twin():
+    # planted: line A x3 (24 chars each), line B x1 (30 chars)
+    a = "duplicated boilerplate16"
+    b = "a unique line of thirty chars."
+    assert len(a) == 24 and len(b) == 30
+    text = "\n".join([a, b, a, "", "   ", a])
+    frac = rules.dup_line_char_fraction(text)
+    assert abs(frac - (3 * 24) / (3 * 24 + 30)) < 1e-12
+    assert rules.dup_line_char_fraction("") == 0.0
+    assert rules.dup_line_char_fraction("one\ntwo\nthree") == 0.0
+    # space-trim only: tab-padded lines are NOT equal to their stripped twin
+    assert rules.dup_line_char_fraction("x y\n\tx y") == 0.0
+    # ...but space-padded ones are
+    assert rules.dup_line_char_fraction("x y\n   x y") == 1.0
+
+
+def test_dup_line_cap_rule_off_by_default():
+    boiler = "the same navigation bar line repeated here"
+    doc = "\n".join([boiler] * 30 + ["unique closing sentence for the page"])
+    pad = (
+        " gallia est omnis divisa in partes tres quarum unam incolunt belgae"
+        * 3
+    )
+    doc = doc + "\n" + pad  # keep word_count/stopword gates quiet
+    assert "dup_lines" not in rules.extension_reasons(doc, rules.ExtensionConfig())
+    cfg = rules.ExtensionConfig(max_dup_line_frac=0.3)
+    assert "dup_lines" in rules.extension_reasons(doc, cfg)

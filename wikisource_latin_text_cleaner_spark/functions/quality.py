@@ -60,6 +60,32 @@ def mean_line_len(col) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def dup_line_char_fraction(col) -> Column:
+    """Gopher-style duplicate-line character fraction: of all characters in
+    space-trimmed non-empty lines, the fraction belonging to lines whose
+    exact content occurs >= 2 times in the document (every occurrence
+    counts). Space-trimmed (not full whitespace-strip) on all three
+    implementations -- Spark F.trim, DuckDB trim(), and the Python twin in
+    rules.extension_reasons strip 0x20 only -- so the definitions cannot
+    diverge.
+
+    The nested filter is O(lines^2) per document JVM-side; at ~50 lines/web
+    page that is ~2.5k comparisons inside codegen, far cheaper than a
+    per-doc shuffle. A 10k-line outlier costs 10^8 comparisons in one task
+    -- for corpora with such tails use an explode+groupBy variant instead.
+    """
+    lines = F.filter(
+        F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    dup = F.filter(
+        lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2
+    )
+    tot = F.aggregate(lines, F.lit(0.0), lambda a, l: a + F.length(l))
+    dch = F.aggregate(dup, F.lit(0.0), lambda a, l: a + F.length(l))
+    return F.when(F.size(lines) > 0, dch / tot).otherwise(F.lit(0.0))
+
+
 def quality_columns(text_col: str = "text") -> dict:
     """Bundle of named quality expressions for select(**)."""
     c = F.col(text_col)
@@ -69,4 +95,5 @@ def quality_columns(text_col: str = "text") -> dict:
         "stopword_ratio": stopword_ratio(c),
         "symbol_ratio": symbol_ratio(c),
         "mean_line_len": mean_line_len(c),
+        "dup_line_char_fraction": dup_line_char_fraction(c),
     }

@@ -114,6 +114,11 @@ class ExtensionConfig:
     max_symbol_ratio: float = 0.05
     min_stopword_ratio: float = 0.01
     max_top_bigram_ratio: float = 0.30
+    #: Gopher duplicate-line character-fraction cap; None (default) keeps
+    #: the rule off so existing keep/drop decisions stay byte-stable.
+    #: Space-trim-only line normalization, matching
+    #: quality.dup_line_char_fraction exactly.
+    max_dup_line_frac: float | None = None
     allowed_langs: tuple = ("la",)
     langid_gate: bool = False  # off unless a langid model is supplied
 
@@ -141,7 +146,24 @@ def extension_reasons(clean_text: str, cfg: ExtensionConfig) -> list[str]:
         top = max(bigrams.values())
         if top / (n - 1) > cfg.max_top_bigram_ratio:
             reasons.append("repetition")
+    if cfg.max_dup_line_frac is not None:
+        if dup_line_char_fraction(clean_text) > cfg.max_dup_line_frac:
+            reasons.append("dup_lines")
     return reasons
+
+
+def dup_line_char_fraction(text: str) -> float:
+    """Python twin of quality.dup_line_char_fraction (space-trim only)."""
+    lines = [l.strip(" ") for l in text.split("\n")]
+    lines = [l for l in lines if l]
+    if not lines:
+        return 0.0
+    counts: dict = {}
+    for l in lines:
+        counts[l] = counts.get(l, 0) + 1
+    total = sum(len(l) for l in lines)
+    dup = sum(len(l) for l in lines if counts[l] >= 2)
+    return dup / total
 
 
 # --------------------------------------------------------------------------
