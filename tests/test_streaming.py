@@ -91,3 +91,64 @@ def test_stream_resume_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 80
     assert out.select("url").distinct().count() == 80
+
+
+def test_streaming_first_seen_dedup_exactly_one_per_hash(spark, tmp_path):
+    """Custom stateful op (applyInPandasWithState): across micro-batches
+    each distinct text is emitted exactly once; cross-batch duplicates only
+    grow the state-side count."""
+    import uuid
+
+    import pandas as pd
+
+    from wikisource_latin_text_cleaner_spark.sources import synth
+    from wikisource_latin_text_cleaner_spark.streaming.stream import (
+        streaming_first_seen_dedup,
+    )
+
+    in_dir = str(tmp_path / "dedup_in")
+    os.makedirs(in_dir)
+    synth.write_pages_parquet(os.path.join(in_dir, "a.parquet"), 60, seed=11)
+    # second batch = 40 rows duplicating first-batch texts (fresh urls) + 20 new
+    a = spark.read.parquet(os.path.join(in_dir, "a.parquet")).limit(40).toPandas()
+    a["url"] = ["dup://" + str(i) for i in range(len(a))]
+    synth.write_pages_parquet(os.path.join(in_dir, "b.parquet"), 20, seed=12)
+    b = spark.read.parquet(os.path.join(in_dir, "b.parquet")).toPandas()
+    spark.createDataFrame(pd.concat([a, b])).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp_path, "second")
+    )
+    os.rename(
+        [os.path.join(tmp_path, "second", f) for f in os.listdir(tmp_path / "second")
+         if f.endswith(".parquet")][0],
+        os.path.join(in_dir, "b2.parquet"),
+    )
+    os.remove(os.path.join(in_dir, "b.parquet"))
+
+    stream = (
+        spark.readStream.schema(synth.PAGES_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    table = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_first_seen_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(f"SELECT * FROM {table}").toPandas()
+    batch = spark.read.parquet(in_dir).toPandas()
+    import hashlib
+
+    distinct_texts = {hashlib.md5(t.encode()).hexdigest() for t in batch["text"]}
+    emitted = [hashlib.md5(t.encode()).hexdigest() for t in got["text"]]
+    assert len(emitted) == len(set(emitted)), "a hash was emitted twice"
+    assert set(emitted) == distinct_texts
+    # within-batch duplicate counting: at least the planted duplicates in
+    # batch 1 (synth corpora contain exact dups) are reflected somewhere
+    assert (got["n_dups_so_far"] >= 0).all()
+    assert len(got) == len(distinct_texts)

@@ -103,3 +103,70 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), key_col, "n_events")
     )
+
+
+def streaming_first_seen_dedup(
+    pages,
+    text_col: str = "text",
+    id_col: str = "url",
+):
+    """Custom stateful streaming operator: exact-dedup a continuous page
+    stream, emitting only the FIRST occurrence of each text hash and keeping
+    a per-hash duplicate count in state.
+
+    For plain streaming dedup Spark's built-in ``dropDuplicates`` /
+    ``dropDuplicatesWithinWatermark`` is the first choice; this operator
+    exists for the custom-state shape the built-in can't express (the
+    running duplicate count per key, emitted with the surviving row) and as
+    the template for arbitrary per-key streaming state
+    (``applyInPandasWithState``: Arrow-batched pandas per group + a typed
+    state tuple, the Spark-4 analog of flatMapGroupsWithState).
+
+    Semantics: grouped by md5(text); the first micro-batch containing a
+    hash emits that batch's min-``id_col`` row with ``n_dups_so_far`` = the
+    batch's extra copies; later batches emit nothing and only grow the
+    count. Emission is therefore arrival-order-dependent across batches
+    (inherent to streaming dedup) while deterministic within a batch.
+
+    Scale: state lives in the state store, hash-partitioned by group key
+    (uniform md5 keys -> no skew); at 10^12 keys use the RocksDB state
+    store provider and bound state with a TTL/watermark eviction policy --
+    NoTimeout here keeps the demo exact. State row = 16-byte key + one
+    long, so 10^9 distinct pages/executor ~= 40 GB RocksDB, disk-backed.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = pages.withColumn("_h", F.md5(F.col(text_col)))
+    in_cols = [f.name for f in pages.schema.fields]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in pages.schema.fields)
+        + ", n_dups_so_far long"
+    )
+
+    def dedup_fn(key, pdfs, state):
+        rows = 0
+        first = None
+        for pdf in pdfs:
+            rows += len(pdf)
+            if len(pdf):
+                cand = pdf.sort_values(id_col).iloc[[0]]
+                if first is None or cand[id_col].iloc[0] < first[id_col].iloc[0]:
+                    first = cand
+        if state.exists:
+            (count,) = state.get
+            state.update((count + rows,))
+            return iter(())
+        state.update((rows,))
+        out = first[in_cols].copy()
+        out["n_dups_so_far"] = rows - 1
+        return iter((out,))
+
+    return hashed.groupBy("_h").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType="count long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
