@@ -229,6 +229,18 @@ def q_dup_line_stats(spark, sf):
     )
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher top-bigram repetition ratio per lang -- the Catalyst twin of
+    the ACTIVE max_top_bigram_ratio gate in rules.extension_reasons,
+    cross-checked against an independent DuckDB derivation."""
+    d = _docs(spark, sf, spread=True)
+    r = quality.top_bigram_ratio(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.round(F.avg(r), 6).alias("avg_top_bigram_ratio"),
+        F.round(F.max(r), 6).alias("max_top_bigram_ratio"),
+    )
+
+
 def q_mean_line_len(spark, sf):
     """Gopher mean-line-length heuristic (ref C2 line-length analysis)."""
     d = _docs(spark, sf, spread=True)
@@ -646,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": q_stopword_ratio,
         "mean_line_len": q_mean_line_len,
         "dup_line_stats": q_dup_line_stats,
+        "repetition_stats": q_repetition_stats,
         "symbol_ratio": q_symbol_ratio,
         "mean_word_len": q_mean_word_len,
         "pii_matches": q_pii_matches,
@@ -793,6 +806,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, round(avg(frac), 6) AS avg_dup_line_frac,
                    CAST(sum(CASE WHEN frac > 0 THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_docs_with_dup_lines
+            FROM all_docs GROUP BY lang
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '\\w+') AS ws
+              FROM documents
+            ),
+            bi AS (
+              SELECT doc_id, lang, len(ws) AS n, u.b
+              FROM w, UNNEST(list_transform(range(1, len(ws)),
+                     i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS u(b)
+              WHERE len(ws) >= 8
+            ),
+            cnt AS (
+              SELECT doc_id, lang, n, b, count(*) AS c
+              FROM bi GROUP BY doc_id, lang, n, b
+            ),
+            per_doc AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     max(c) * 1.0 / (any_value(n) - 1) AS r
+              FROM cnt GROUP BY doc_id
+            ),
+            all_docs AS (
+              SELECT d.lang, coalesce(p.r, 0.0) AS r
+              FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            )
+            SELECT lang, round(avg(r), 6) AS avg_top_bigram_ratio,
+                   round(max(r), 6) AS max_top_bigram_ratio
             FROM all_docs GROUP BY lang
         """,
         "stopword_ratio": f"""

@@ -27,3 +27,35 @@ def test_dup_line_char_fraction_spark_matches_python(spark):
     }
     for i, t in enumerate(texts):
         assert abs(got[i] - rules.dup_line_char_fraction(t)) < 1e-9, (i, t)
+
+
+def test_top_bigram_ratio_spark_matches_python(spark):
+    import re
+
+    def py(t):
+        ws = re.findall(r"\w+", t.lower(), re.UNICODE)
+        n = len(ws)
+        if n < 8:
+            return 0.0
+        d = {}
+        for x, y in zip(ws, ws[1:]):
+            d[(x, y)] = d.get((x, y), 0) + 1
+        return max(d.values()) / (n - 1)
+
+    texts = [
+        ("buy now " * 300).strip(),
+        "gallia est omnis divisa in partes tres quarum unam incolunt belgae",
+        "a b a b a b c d e f",
+        "short text",
+        "",
+        "Mixed CASE mixed case MIXED case and more words here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r["r"]
+        for r in df.select(
+            "i", F.round(quality.top_bigram_ratio(F.col("text")), 8).alias("r")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i] - py(t)) < 1e-7, (i, t, got[i], py(t))

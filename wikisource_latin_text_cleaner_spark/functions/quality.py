@@ -86,6 +86,40 @@ def dup_line_char_fraction(col) -> Column:
     return F.when(F.size(lines) > 0, dch / tot).otherwise(F.lit(0.0))
 
 
+def top_bigram_ratio(col) -> Column:
+    """Gopher repetition metric: occurrences of the most frequent word
+    bigram over (n_words - 1); 0.0 under 8 words (mirroring the
+    rules.extension_reasons gate). Same \\w+ tokenization as the Python
+    rule (ASCII-equivalent across Java/RE2/Python on this corpus).
+
+    Computed JVM-side as sort + single fold (O(L log L), all inside
+    codegen): counting duplicates in an array via nested filters would be
+    O(L^2), which a 5k-word page turns into 25M comparisons per row.
+    """
+    w = F.regexp_extract_all(F.lower(col), F.lit(r"\w+"), F.lit(0))
+    n = F.size(w)
+    bi = F.zip_with(
+        F.slice(w, F.lit(1), n - 1),
+        F.slice(w, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    st0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best"))
+    best = F.aggregate(
+        F.array_sort(bi),
+        st0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(n >= 8, best / (n - 1).cast("double")).otherwise(F.lit(0.0))
+
+
 def quality_columns(text_col: str = "text") -> dict:
     """Bundle of named quality expressions for select(**)."""
     c = F.col(text_col)
@@ -96,4 +130,5 @@ def quality_columns(text_col: str = "text") -> dict:
         "symbol_ratio": symbol_ratio(c),
         "mean_line_len": mean_line_len(c),
         "dup_line_char_fraction": dup_line_char_fraction(c),
+        "top_bigram_ratio": top_bigram_ratio(c),
     }
