@@ -568,7 +568,12 @@ def q_langid_histogram(spark, sf):
 
 
 def q_perplexity_stats(spark, sf):
-    """Char-bigram LM perplexity distribution per lang."""
+    """Char-bigram LM perplexity distribution per lang. Oracle-backed: the
+    (40x40) log-probability matrix is embedded verbatim (repr round-trips
+    float64 exactly) and the char->symbol mapping re-derived with
+    translate/strpos; measured Spark-vs-DuckDB per-doc divergence is
+    ~4e-14 (summation-order only), invisible at the 2dp comparison
+    surface."""
     d = _docs(spark, sf, spread=True)
     return d.select("lang", udfs.perplexity_udf("text").alias("ppx")).groupBy("lang").agg(
         F.round(F.avg("ppx"), 2).alias("avg_ppx"),
@@ -1071,6 +1076,32 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "perplexity_stats": """
+            WITH t AS (
+              SELECT doc_id, lang, translate(lower(text), '123456789', '000000000') AS s,
+                     length(translate(lower(text), '123456789', '000000000')) AS n
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, lang,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()', substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()', substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
+              FROM t, UNNEST(range(1, CAST(n AS INT))) AS u(i)
+              WHERE n >= 2
+            ),
+            lp AS (
+              SELECT doc_id, lang,
+                     ([-5.497168225293201, -3.1945831322991562, -4.110873864173311, -3.5512580762378883, -3.1945831322991562, -5.497168225293201, -3.1945831322991562, -5.497168225293201, -5.497168225293201, -5.497168225293201, -5.497168225293201, -2.7245795030534206, -2.406125771934886, -2.278292400425001, -5.497168225293201, -4.110873864173311, -3.5512580762378883, -2.932218867831665, -5.497168225293201, -2.7245795030534206, -2.7245795030534206, -5.497168225293201, -5.497168225293201, -3.5512580762378883, -5.497168225293201, -5.497168225293201, -5.497168225293201, -1.8862503126489774, -5.497168225293201, -2.7245795030534206, -5.497168225293201, -5.497168225293201, -5.497168225293201, -5.497168225293201, -5.497168225293201, -5.497168225293201, -5.497168225293201, -5.497168225293201, -5.497168225293201, -5.497168225293201, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -1.8777018990287795, -4.442651256490317, -4.442651256490317, -4.442651256490317, -2.496741107435003, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -2.496741107435003, -4.442651256490317, -4.442651256490317, -3.056356895370426, -2.496741107435003, -4.442651256490317, -2.496741107435003, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -3.056356895370426, -4.442651256490317, -3.056356895370426, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -4.442651256490317, -2.069779630768099, -4.634728988229636, -3.248434627109745, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -3.248434627109745, -4.634728988229636, -4.634728988229636, -4.634728988229636, -3.248434627109745, -4.634728988229636, -4.634728988229636, -2.069779630768099, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -3.248434627109745, -1.8621402659898545, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -2.069779630768099, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.634728988229636, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -1.3862943611198906, -4.718498871295094, -4.718498871295094, -4.718498871295094, -2.153549513833558, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -2.153549513833558, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -2.4159137783010487, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -2.4159137783010487, -4.718498871295094, -3.332204510175204, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -4.718498871295094, -3.6562086718243876, -5.602118820879701, -3.6562086718243876, -3.6562086718243876, -5.602118820879701, -5.602118820879701, -4.21582445975981, -5.602118820879701, -4.21582445975981, -5.602118820879701, -5.602118820879701, -2.8295300986399194, -2.8295300986399194, -2.3832429960115, -5.602118820879701, -3.6562086718243876, -5.602118820879701, -1.7102985227690741, -2.511076367521385, -3.037169463418164, -3.6562086718243876, -4.21582445975981, -5.602118820879701, -3.037169463418164, -5.602118820879701, -5.602118820879701, -5.602118820879701, -1.9912009082354762, -4.21582445975981, -3.6562086718243876, -5.602118820879701, -5.602118820879701, -5.602118820879701, -5.602118820879701, -5.602118820879701, -5.602118820879701, -5.602118820879701, -5.602118820879701, -5.602118820879701, -5.602118820879701, -2.505525936990736, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -1.9459101490553132, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -3.8918202981106265, -2.9041650800285006, -4.290459441148391, -4.290459441148391, -4.290459441148391, -1.9878743481543455, -4.290459441148391, -4.290459441148391, -4.290459441148391, -2.9041650800285006, -4.290459441148391, -4.290459441148391, -2.9041650800285006, -4.290459441148391, -1.7255100836868544, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -2.9041650800285006, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.290459441148391, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -2.6210388241125804, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -1.7047480922384253, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -2.6210388241125804, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -4.007333185232471, -2.2278615467981093, -3.144152278672264, -4.060443010546419, -3.5008272226109964, -3.5008272226109964, -5.44673737166631, -3.144152278672264, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -2.881788014204773, -2.114532861491106, -2.5022983924998696, -4.060443010546419, -4.060443010546419, -5.44673737166631, -3.144152278672264, -2.2278615467981093, -2.881788014204773, -2.5022983924998696, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -3.144152278672264, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -5.44673737166631, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.56953269648137, -4.955827057601261, -4.955827057601261, -4.955827057601261, -2.653241964607215, -4.955827057601261, -4.955827057601261, -4.955827057601261, -2.653241964607215, -4.955827057601261, -4.955827057601261, -2.3908777001397237, -4.955827057601261, -4.955827057601261, -2.1832383353614793, -4.955827057601261, -4.955827057601261, -4.955827057601261, -3.56953269648137, -2.3908777001397237, -1.6236225474260568, -3.0099169085459474, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -3.0099169085459474, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -4.955827057601261, -2.462732792293678, -5.407171771460119, -5.407171771460119, -5.407171771460119, -2.6345830492203373, -5.407171771460119, -5.407171771460119, -5.407171771460119, -3.4612616224048054, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -4.020877410340228, -1.9731845669749724, -2.6345830492203373, -4.020877410340228, -5.407171771460119, -5.407171771460119, -5.407171771460119, -2.316129318101803, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -1.3467287609136995, -5.407171771460119, -2.6345830492203373, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -5.407171771460119, -2.9755295662364714, -5.278114659230517, -2.9755295662364714, -3.332204510175204, -3.332204510175204, -5.278114659230517, -3.8918202981106265, -5.278114659230517, -1.9459101490553132, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -3.332204510175204, -2.0592388343623163, -5.278114659230517, -5.278114659230517, -5.278114659230517, -2.7131653017689805, -3.8918202981106265, -1.7517541346143557, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -2.7131653017689805, -5.278114659230517, -3.332204510175204, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -3.332204510175204, -3.332204510175204, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -3.8918202981106265, -1.9459101490553132, -1.9459101490553132, -5.278114659230517, -2.505525936990736, -3.8918202981106265, -1.844127454745371, -3.8918202981106265, -5.278114659230517, -5.278114659230517, -3.8918202981106265, -5.278114659230517, -2.9755295662364714, -5.278114659230517, -5.278114659230517, -5.278114659230517, -2.3336756800640766, -5.278114659230517, -3.332204510175204, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -5.278114659230517, -2.1177604059819726, -4.890349128221754, -4.890349128221754, -4.890349128221754, -1.7993066748634379, -4.890349128221754, -4.890349128221754, -4.890349128221754, -3.504054767101863, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -2.325399770760217, -4.890349128221754, -4.890349128221754, -2.587764035227708, -3.504054767101863, -4.890349128221754, -1.4563619237366074, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.890349128221754, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -0.6455191315706906, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -4.406719247264253, -2.6499864001474487, -2.6499864001474487, -5.214935757608986, -5.214935757608986, -2.12389330425067, -5.214935757608986, -5.214935757608986, -5.214935757608986, -2.6499864001474487, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -2.91235066461494, -3.269025608553672, -3.828641396489095, -3.269025608553672, -2.91235066461494, -3.269025608553672, -3.828641396489095, -3.828641396489095, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -1.6885752329928243, -5.214935757608986, -2.91235066461494, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -5.214935757608986, -3.3638415951183864, -5.666426688112432, -4.2801323269925415, -5.666426688112432, -2.8938379658726507, -5.666426688112432, -5.666426688112432, -5.666426688112432, -3.101477330650895, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -4.2801323269925415, -4.2801323269925415, -5.666426688112432, -5.666426688112432, -3.3638415951183864, -3.720516539057119, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -0.6692144143483172, -4.2801323269925415, -1.9775472339984956, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -5.666426688112432, -2.4322629163025784, -4.997212273764115, -4.997212273764115, -4.997212273764115, -1.5632250692789689, -4.997212273764115, -4.997212273764115, -4.997212273764115, -2.0527732945976744, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -3.6109179126442243, -4.997212273764115, -4.997212273764115, -4.997212273764115, -1.5632250692789689, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -2.4322629163025784, -4.997212273764115, -3.6109179126442243, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -4.997212273764115, -3.2461916355151637, -4.424846631856809, -4.424846631856809, -4.424846631856809, -3.2461916355151637, -5.8111409929767, -5.8111409929767, -5.8111409929767, -3.865230843921387, -5.8111409929767, -5.8111409929767, -2.5922651681085, -1.9193206948660737, -3.5085558999826545, -3.2461916355151637, -5.8111409929767, -5.8111409929767, -3.5085558999826545, -0.8984861072406485, -3.0385522707369192, -5.8111409929767, -5.8111409929767, -5.8111409929767, -4.424846631856809, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -5.8111409929767, -2.5649493574615367, -4.51085950651685, -4.51085950651685, -4.51085950651685, -1.7382707842770686, -4.51085950651685, -4.51085950651685, -4.51085950651685, -1.4198170531585341, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -3.1245651453969594, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -2.5649493574615367, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -4.51085950651685, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -1.3040562628829186, -4.2484952420493585, -1.6835458845878222, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -4.2484952420493585, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -2.2312475545478403, -3.7771720612596145, -3.0099169085459474, -2.653241964607215, -3.2510789653628356, -4.039536325727106, -4.039536325727106, -3.7771720612596145, -2.513480022232056, -6.342121418721151, -6.342121418721151, -3.56953269648137, -2.513480022232056, -2.81576089410499, -4.039536325727106, -2.580921303027589, -3.2510789653628356, -3.397682439554711, -2.81576089410499, -3.2510789653628356, -3.2510789653628356, -2.731203506076927, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -6.342121418721151, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -2.70805020110221, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -2.420368128650429, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -3.8066624897703196, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -0.2855611808826432, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -5.056245805348308, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363, -3.6888794541139363])[
+                       (CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END) * 40
+                       + (CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END) + 1] AS l
+              FROM ch
+            ),
+            per_doc AS (
+              SELECT doc_id, any_value(lang) AS lang, exp(-avg(l)) AS ppx FROM lp GROUP BY doc_id
+            )
+            SELECT lang, round(avg(ppx), 2) AS avg_ppx, round(min(ppx), 2) AS min_ppx
+            FROM per_doc GROUP BY lang
         """,
         "minhash_dedup_count": """
             WITH t AS (
