@@ -556,9 +556,14 @@ def q_langid_histogram(spark, sf):
 
     NOTE the driver's documents table carries synthetic database-jargon
     text with arbitrary lang labels ('zh' rows contain English words), so
-    agreement here is structurally low -- this query checks the operator
-    shape. Model accuracy is asserted on the labeled synthetic pages corpus
-    (tests/test_pipeline_e2e.py::test_langid_gate)."""
+    agreement here is structurally low -- model ACCURACY is asserted on the
+    labeled synthetic pages corpus (test_langid_gate). Oracle-backed by a
+    sparse SQL re-derivation of the model itself: the 6x16384 profile
+    matrix collapses to 1,059 non-baseline cells + one baseline per lang
+    (exact float64 via repr), trigram hashing is plain BIGINT arithmetic,
+    scoring is a left-join gather, argmax a window rank. Measured top-2
+    score margin on this corpus is >=1.8e-4 vs ~1e-12 summation-order
+    noise, so the argmax cannot flip between engines."""
     d = _docs(spark, sf, spread=True)
     return (
         d.select("lang", udfs.langid_label_udf("text").alias("lang_pred"))
@@ -1076,6 +1081,1106 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "langid_histogram": """
+            WITH t AS (
+              SELECT doc_id, lang AS true_lang, lower(text) AS s,
+                     length(lower(text)) AS n
+              FROM documents
+            ),
+            tri AS (
+              SELECT doc_id, true_lang,
+                     ((CAST(unicode(substr(s, CAST(u.i AS INT), 1)) AS BIGINT) * 1000003
+                       + CAST(unicode(substr(s, CAST(u.i AS INT) + 1, 1)) AS BIGINT) * 10007
+                       + CAST(unicode(substr(s, CAST(u.i AS INT) + 2, 1)) AS BIGINT))
+                      % 16384) AS bucket
+              FROM t, UNNEST(range(1, greatest(n - 1, 1))) AS u(i)
+              WHERE n >= 3
+            ),
+            model(lang_idx, bucket, logp) AS (
+              VALUES (0, 28, -6.664409020350408),
+                          (0, 34, -7.333458649331292),
+                          (0, 39, -7.333458649331292),
+                          (0, 41, -7.333458649331292),
+                          (0, 78, -5.762860570213456),
+                          (0, 126, -7.333458649331292),
+                          (0, 147, -7.333458649331292),
+                          (0, 157, -7.333458649331292),
+                          (0, 248, -7.333458649331292),
+                          (0, 410, -7.333458649331292),
+                          (0, 422, -6.664409020350408),
+                          (0, 428, -6.267107222881404),
+                          (0, 429, -7.333458649331292),
+                          (0, 438, -7.333458649331292),
+                          (0, 613, -7.333458649331292),
+                          (0, 628, -7.333458649331292),
+                          (0, 695, -7.333458649331292),
+                          (0, 722, -7.333458649331292),
+                          (0, 770, -7.333458649331292),
+                          (0, 774, -7.333458649331292),
+                          (0, 781, -7.333458649331292),
+                          (0, 810, -7.333458649331292),
+                          (0, 818, -7.333458649331292),
+                          (0, 823, -7.333458649331292),
+                          (0, 828, -7.333458649331292),
+                          (0, 882, -7.333458649331292),
+                          (0, 1030, -7.333458649331292),
+                          (0, 1038, -7.333458649331292),
+                          (0, 1044, -7.333458649331292),
+                          (0, 1047, -7.333458649331292),
+                          (0, 1117, -7.333458649331292),
+                          (0, 1313, -7.333458649331292),
+                          (0, 1391, -7.333458649331292),
+                          (0, 1402, -7.333458649331292),
+                          (0, 1405, -7.333458649331292),
+                          (0, 1461, -7.333458649331292),
+                          (0, 1586, -7.333458649331292),
+                          (0, 1609, -7.333458649331292),
+                          (0, 1651, -7.333458649331292),
+                          (0, 1653, -7.333458649331292),
+                          (0, 1661, -7.333458649331292),
+                          (0, 1667, -6.664409020350408),
+                          (0, 1701, -7.333458649331292),
+                          (0, 1706, -7.333458649331292),
+                          (0, 1708, -6.664409020350408),
+                          (0, 1712, -7.333458649331292),
+                          (0, 1727, -7.333458649331292),
+                          (0, 1730, -7.333458649331292),
+                          (0, 1735, -6.664409020350408),
+                          (0, 1736, -6.664409020350408),
+                          (0, 1765, -7.333458649331292),
+                          (0, 1771, -7.333458649331292),
+                          (0, 1807, -7.333458649331292),
+                          (0, 1872, -7.333458649331292),
+                          (0, 1878, -7.333458649331292),
+                          (0, 1880, -7.333458649331292),
+                          (0, 1886, -7.333458649331292),
+                          (0, 1890, -6.664409020350408),
+                          (0, 1892, -7.333458649331292),
+                          (0, 1968, -6.664409020350408),
+                          (0, 1976, -6.267107222881404),
+                          (0, 1980, -7.333458649331292),
+                          (0, 1983, -7.333458649331292),
+                          (0, 1984, -6.267107222881404),
+                          (0, 1986, -6.664409020350408),
+                          (0, 2018, -7.333458649331292),
+                          (0, 2022, -7.333458649331292),
+                          (0, 2040, -7.333458649331292),
+                          (0, 2046, -7.333458649331292),
+                          (0, 2111, -6.664409020350408),
+                          (0, 2196, -7.333458649331292),
+                          (0, 2276, -7.333458649331292),
+                          (0, 2293, -7.333458649331292),
+                          (0, 2350, -7.333458649331292),
+                          (0, 2394, -6.664409020350408),
+                          (0, 2474, -6.664409020350408),
+                          (0, 2556, -5.429221196676547),
+                          (0, 2597, -7.333458649331292),
+                          (0, 2603, -7.333458649331292),
+                          (0, 2726, -7.333458649331292),
+                          (0, 2738, -7.333458649331292),
+                          (0, 2746, -7.333458649331292),
+                          (0, 2774, -7.333458649331292),
+                          (0, 2923, -5.983531932382276),
+                          (0, 2929, -7.333458649331292),
+                          (0, 2944, -7.333458649331292),
+                          (0, 3240, -7.333458649331292),
+                          (0, 3277, -5.762860570213456),
+                          (0, 3305, -7.333458649331292),
+                          (0, 3316, -7.333458649331292),
+                          (0, 3338, -7.333458649331292),
+                          (0, 3343, -7.333458649331292),
+                          (0, 3350, -7.333458649331292),
+                          (0, 3358, -7.333458649331292),
+                          (0, 3359, -7.333458649331292),
+                          (0, 3362, -7.333458649331292),
+                          (0, 3423, -5.983531932382276),
+                          (0, 3427, -6.267107222881404),
+                          (0, 3433, -7.333458649331292),
+                          (0, 3449, -6.664409020350408),
+                          (0, 3452, -7.333458649331292),
+                          (0, 3455, -7.333458649331292),
+                          (0, 3521, -6.267107222881404),
+                          (0, 3525, -7.333458649331292),
+                          (0, 3531, -6.267107222881404),
+                          (0, 3537, -6.664409020350408),
+                          (0, 3573, -6.664409020350408),
+                          (0, 3588, -7.333458649331292),
+                          (0, 3679, -6.267107222881404),
+                          (0, 3752, -7.333458649331292),
+                          (0, 3756, -7.333458649331292),
+                          (0, 3762, -7.333458649331292),
+                          (0, 3764, -7.333458649331292),
+                          (0, 3884, -7.333458649331292),
+                          (0, 3896, -6.267107222881404),
+                          (0, 3898, -7.333458649331292),
+                          (0, 3904, -7.333458649331292),
+                          (0, 4287, -7.333458649331292),
+                          (0, 4304, -6.664409020350408),
+                          (0, 4348, -6.664409020350408),
+                          (0, 4364, -7.333458649331292),
+                          (0, 4365, -7.333458649331292),
+                          (0, 4369, -7.333458649331292),
+                          (0, 4400, -7.333458649331292),
+                          (0, 4401, -7.333458649331292),
+                          (0, 4403, -7.333458649331292),
+                          (0, 4406, -6.664409020350408),
+                          (0, 4411, -7.333458649331292),
+                          (0, 4412, -7.333458649331292),
+                          (0, 4413, -6.664409020350408),
+                          (0, 4415, -7.333458649331292),
+                          (0, 4417, -7.333458649331292),
+                          (0, 4418, -7.333458649331292),
+                          (0, 4427, -6.664409020350408),
+                          (0, 4463, -7.333458649331292),
+                          (0, 4481, -7.333458649331292),
+                          (0, 4525, -6.664409020350408),
+                          (0, 4609, -7.333458649331292),
+                          (0, 4660, -6.664409020350408),
+                          (0, 4664, -6.664409020350408),
+                          (0, 4666, -5.983531932382276),
+                          (0, 4672, -7.333458649331292),
+                          (0, 4676, -7.333458649331292),
+                          (0, 4689, -7.333458649331292),
+                          (0, 4710, -6.664409020350408),
+                          (0, 4768, -7.333458649331292),
+                          (0, 4789, -7.333458649331292),
+                          (0, 4790, -7.333458649331292),
+                          (0, 4795, -6.267107222881404),
+                          (0, 4944, -7.333458649331292),
+                          (0, 4946, -7.333458649331292),
+                          (0, 4948, -7.333458649331292),
+                          (0, 5042, -7.333458649331292),
+                          (0, 5059, -7.333458649331292),
+                          (0, 5060, -7.333458649331292),
+                          (0, 5061, -7.333458649331292),
+                          (0, 5104, -7.333458649331292),
+                          (0, 5173, -7.333458649331292),
+                          (0, 5182, -7.333458649331292),
+                          (0, 5238, -7.333458649331292),
+                          (0, 5245, -5.983531932382276),
+                          (0, 5287, -6.664409020350408),
+                          (0, 5297, -5.983531932382276),
+                          (0, 5303, -6.267107222881404),
+                          (0, 5348, -6.664409020350408),
+                          (0, 5349, -7.333458649331292),
+                          (0, 5494, -7.333458649331292),
+                          (0, 5498, -7.333458649331292),
+                          (0, 5521, -7.333458649331292),
+                          (0, 5522, -5.582190541457974),
+                          (0, 5641, -7.333458649331292),
+                          (0, 5650, -7.333458649331292),
+                          (0, 5658, -7.333458649331292),
+                          (0, 5677, -7.333458649331292),
+                          (0, 5683, -7.333458649331292),
+                          (0, 5760, -7.333458649331292),
+                          (0, 5767, -7.333458649331292),
+                          (0, 5817, -7.333458649331292),
+                          (0, 5818, -6.664409020350408),
+                          (0, 5819, -7.333458649331292),
+                          (0, 5824, -5.582190541457974),
+                          (0, 5834, -7.333458649331292),
+                          (0, 5839, -6.664409020350408),
+                          (0, 5923, -7.333458649331292),
+                          (0, 6033, -7.333458649331292),
+                          (0, 6039, -7.333458649331292),
+                          (0, 6164, -3.8254732000201255),
+                          (0, 6166, -6.664409020350408),
+                          (0, 6170, -6.267107222881404),
+                          (0, 6174, -6.664409020350408),
+                          (0, 6181, -7.333458649331292),
+                          (0, 6185, -7.333458649331292),
+                          (0, 6229, -7.333458649331292),
+                          (0, 6262, -7.333458649331292),
+                          (0, 6265, -7.333458649331292),
+                          (0, 6267, -7.333458649331292),
+                          (0, 6270, -7.333458649331292),
+                          (0, 6275, -6.267107222881404),
+                          (0, 6276, -7.333458649331292),
+                          (0, 6277, -6.267107222881404),
+                          (0, 6280, -7.333458649331292),
+                          (0, 6283, -7.333458649331292),
+                          (0, 6284, -6.664409020350408),
+                          (0, 6339, -6.664409020350408),
+                          (0, 6503, -6.664409020350408),
+                          (0, 6528, -7.333458649331292),
+                          (0, 6538, -7.333458649331292),
+                          (0, 6539, -6.664409020350408),
+                          (0, 6540, -7.333458649331292),
+                          (0, 6600, -6.664409020350408),
+                          (0, 6601, -7.333458649331292),
+                          (0, 6602, -7.333458649331292),
+                          (0, 6603, -6.664409020350408),
+                          (0, 6604, -6.664409020350408),
+                          (0, 6608, -6.664409020350408),
+                          (0, 6612, -6.664409020350408),
+                          (0, 6613, -7.333458649331292),
+                          (0, 6615, -7.333458649331292),
+                          (0, 6616, -7.333458649331292),
+                          (0, 6618, -7.333458649331292),
+                          (0, 6619, -6.664409020350408),
+                          (0, 6620, -7.333458649331292),
+                          (0, 6657, -7.333458649331292),
+                          (0, 6841, -7.333458649331292),
+                          (0, 6907, -7.333458649331292),
+                          (0, 6975, -6.664409020350408),
+                          (0, 6980, -7.333458649331292),
+                          (0, 6982, -5.983531932382276),
+                          (0, 6983, -7.333458649331292),
+                          (0, 6992, -7.333458649331292),
+                          (0, 7047, -7.333458649331292),
+                          (0, 7147, -7.333458649331292),
+                          (0, 7155, -6.664409020350408),
+                          (0, 7181, -7.333458649331292),
+                          (0, 7182, -7.333458649331292),
+                          (0, 7183, -7.333458649331292),
+                          (0, 7192, -7.333458649331292),
+                          (0, 7259, -7.333458649331292),
+                          (0, 7423, -7.333458649331292),
+                          (0, 7543, -6.267107222881404),
+                          (0, 7547, -5.983531932382276),
+                          (0, 7551, -6.664409020350408),
+                          (0, 7557, -5.983531932382276),
+                          (0, 7682, -7.333458649331292),
+                          (0, 7760, -7.333458649331292),
+                          (0, 7765, -7.333458649331292),
+                          (0, 7773, -6.664409020350408),
+                          (0, 7774, -7.333458649331292),
+                          (0, 7775, -7.333458649331292),
+                          (0, 7822, -7.333458649331292),
+                          (0, 7838, -7.333458649331292),
+                          (0, 7839, -7.333458649331292),
+                          (0, 7966, -7.333458649331292),
+                          (0, 8140, -7.333458649331292),
+                          (0, 8249, -7.333458649331292),
+                          (0, 8253, -7.333458649331292),
+                          (0, 8257, -7.333458649331292),
+                          (0, 8262, -7.333458649331292),
+                          (0, 8263, -7.333458649331292),
+                          (0, 8269, -7.333458649331292),
+                          (0, 8311, -7.333458649331292),
+                          (0, 8319, -7.333458649331292),
+                          (0, 8340, -7.333458649331292),
+                          (0, 8394, -6.664409020350408),
+                          (0, 8712, -7.333458649331292),
+                          (0, 8719, -7.333458649331292),
+                          (0, 8771, -7.333458649331292),
+                          (0, 8813, -7.333458649331292),
+                          (0, 8847, -7.333458649331292),
+                          (0, 8856, -7.333458649331292),
+                          (0, 8913, -5.983531932382276),
+                          (0, 8917, -7.333458649331292),
+                          (0, 8927, -6.267107222881404),
+                          (0, 8930, -6.664409020350408),
+                          (0, 8958, -7.333458649331292),
+                          (0, 8968, -6.267107222881404),
+                          (0, 9067, -5.762860570213456),
+                          (0, 9140, -7.333458649331292),
+                          (0, 9147, -7.333458649331292),
+                          (0, 9150, -7.333458649331292),
+                          (0, 9288, -7.333458649331292),
+                          (0, 9293, -7.333458649331292),
+                          (0, 9296, -7.333458649331292),
+                          (0, 9297, -7.333458649331292),
+                          (0, 9298, -5.582190541457974),
+                          (0, 9308, -7.333458649331292),
+                          (0, 9390, -7.333458649331292),
+                          (0, 9394, -7.333458649331292),
+                          (0, 9469, -7.333458649331292),
+                          (0, 9495, -6.664409020350408),
+                          (0, 9500, -7.333458649331292),
+                          (0, 9501, -7.333458649331292),
+                          (0, 9503, -7.333458649331292),
+                          (0, 9506, -6.664409020350408),
+                          (0, 9508, -7.333458649331292),
+                          (0, 9509, -7.333458649331292),
+                          (0, 9515, -7.333458649331292),
+                          (0, 9516, -7.333458649331292),
+                          (0, 9536, -7.333458649331292),
+                          (0, 9719, -7.333458649331292),
+                          (0, 9725, -7.333458649331292),
+                          (0, 9781, -6.664409020350408),
+                          (0, 9797, -7.333458649331292),
+                          (0, 9807, -7.333458649331292),
+                          (0, 9809, -7.333458649331292),
+                          (0, 9813, -7.333458649331292),
+                          (0, 9815, -6.664409020350408),
+                          (0, 9894, -6.267107222881404),
+                          (0, 9908, -6.664409020350408),
+                          (0, 9914, -7.333458649331292),
+                          (0, 9977, -7.333458649331292),
+                          (0, 10008, -7.333458649331292),
+                          (0, 10074, -5.762860570213456),
+                          (0, 10075, -6.664409020350408),
+                          (0, 10076, -7.333458649331292),
+                          (0, 10077, -5.762860570213456),
+                          (0, 10078, -7.333458649331292),
+                          (0, 10079, -6.664409020350408),
+                          (0, 10080, -6.664409020350408),
+                          (0, 10081, -7.333458649331292),
+                          (0, 10082, -6.664409020350408),
+                          (0, 10085, -6.664409020350408),
+                          (0, 10086, -5.762860570213456),
+                          (0, 10087, -6.267107222881404),
+                          (0, 10088, -7.333458649331292),
+                          (0, 10089, -5.983531932382276),
+                          (0, 10091, -6.664409020350408),
+                          (0, 10092, -5.983531932382276),
+                          (0, 10093, -7.333458649331292),
+                          (0, 10094, -7.333458649331292),
+                          (0, 10095, -5.582190541457974),
+                          (0, 10144, -7.333458649331292),
+                          (0, 10152, -7.333458649331292),
+                          (0, 10155, -7.333458649331292),
+                          (0, 10158, -7.333458649331292),
+                          (0, 10159, -6.664409020350408),
+                          (0, 10163, -7.333458649331292),
+                          (0, 10164, -7.333458649331292),
+                          (0, 10169, -7.333458649331292),
+                          (0, 10170, -7.333458649331292),
+                          (0, 10277, -7.333458649331292),
+                          (0, 10282, -7.333458649331292),
+                          (0, 10456, -6.664409020350408),
+                          (0, 10610, -7.333458649331292),
+                          (0, 10627, -7.333458649331292),
+                          (0, 10635, -7.333458649331292),
+                          (0, 10656, -7.333458649331292),
+                          (0, 10661, -7.333458649331292),
+                          (0, 10666, -7.333458649331292),
+                          (0, 10667, -7.333458649331292),
+                          (0, 10674, -7.333458649331292),
+                          (0, 10708, -7.333458649331292),
+                          (0, 10709, -6.267107222881404),
+                          (0, 10710, -7.333458649331292),
+                          (0, 10724, -7.333458649331292),
+                          (0, 10734, -6.664409020350408),
+                          (0, 10738, -6.267107222881404),
+                          (0, 10785, -7.333458649331292),
+                          (0, 10791, -6.664409020350408),
+                          (0, 10869, -7.333458649331292),
+                          (0, 11008, -7.333458649331292),
+                          (0, 11024, -6.664409020350408),
+                          (0, 11029, -7.333458649331292),
+                          (0, 11033, -7.333458649331292),
+                          (0, 11045, -6.664409020350408),
+                          (0, 11156, -7.333458649331292),
+                          (0, 11163, -7.333458649331292),
+                          (0, 11173, -7.333458649331292),
+                          (0, 11235, -7.333458649331292),
+                          (0, 11312, -7.333458649331292),
+                          (0, 11313, -7.333458649331292),
+                          (0, 11317, -7.333458649331292),
+                          (0, 11321, -7.333458649331292),
+                          (0, 11323, -7.333458649331292),
+                          (0, 11547, -7.333458649331292),
+                          (0, 11596, -7.333458649331292),
+                          (0, 11658, -5.07467617899564),
+                          (0, 11660, -5.983531932382276),
+                          (0, 11664, -6.664409020350408),
+                          (0, 11668, -7.333458649331292),
+                          (0, 11674, -5.983531932382276),
+                          (0, 11680, -7.333458649331292),
+                          (0, 11739, -7.333458649331292),
+                          (0, 11785, -7.333458649331292),
+                          (0, 11851, -7.333458649331292),
+                          (0, 11856, -7.333458649331292),
+                          (0, 11868, -7.333458649331292),
+                          (0, 11871, -7.333458649331292),
+                          (0, 11873, -7.333458649331292),
+                          (0, 12165, -7.333458649331292),
+                          (0, 12175, -7.333458649331292),
+                          (0, 12187, -7.333458649331292),
+                          (0, 12293, -7.333458649331292),
+                          (0, 12304, -7.333458649331292),
+                          (0, 12309, -7.333458649331292),
+                          (0, 12364, -7.333458649331292),
+                          (0, 12401, -6.664409020350408),
+                          (0, 12432, -7.333458649331292),
+                          (0, 12441, -7.333458649331292),
+                          (0, 12442, -7.333458649331292),
+                          (0, 12466, -7.333458649331292),
+                          (0, 12473, -6.664409020350408),
+                          (0, 12474, -7.333458649331292),
+                          (0, 12476, -7.333458649331292),
+                          (0, 12484, -7.333458649331292),
+                          (0, 12486, -7.333458649331292),
+                          (0, 12541, -7.333458649331292),
+                          (0, 12543, -7.333458649331292),
+                          (0, 12547, -6.267107222881404),
+                          (0, 12557, -7.333458649331292),
+                          (0, 12607, -7.333458649331292),
+                          (0, 12760, -7.333458649331292),
+                          (0, 12893, -7.333458649331292),
+                          (0, 12909, -6.664409020350408),
+                          (0, 12943, -7.333458649331292),
+                          (0, 12972, -7.333458649331292),
+                          (0, 12981, -7.333458649331292),
+                          (0, 12984, -6.664409020350408),
+                          (0, 12988, -7.333458649331292),
+                          (0, 12989, -7.333458649331292),
+                          (0, 13008, -6.664409020350408),
+                          (0, 13020, -5.983531932382276),
+                          (0, 13025, -6.267107222881404),
+                          (0, 13184, -7.333458649331292),
+                          (0, 13284, -5.762860570213456),
+                          (0, 13322, -7.333458649331292),
+                          (0, 13357, -7.333458649331292),
+                          (0, 13382, -6.664409020350408),
+                          (0, 13522, -5.983531932382276),
+                          (0, 13526, -7.333458649331292),
+                          (0, 13537, -7.333458649331292),
+                          (0, 13539, -7.333458649331292),
+                          (0, 13543, -6.664409020350408),
+                          (0, 13547, -7.333458649331292),
+                          (0, 13551, -7.333458649331292),
+                          (0, 13628, -7.333458649331292),
+                          (0, 13632, -7.333458649331292),
+                          (0, 13644, -6.664409020350408),
+                          (0, 13800, -7.333458649331292),
+                          (0, 14037, -7.333458649331292),
+                          (0, 14167, -6.664409020350408),
+                          (0, 14177, -7.333458649331292),
+                          (0, 14183, -6.664409020350408),
+                          (0, 14185, -7.333458649331292),
+                          (0, 14371, -7.333458649331292),
+                          (0, 14519, -7.333458649331292),
+                          (0, 14615, -7.333458649331292),
+                          (0, 14617, -7.333458649331292),
+                          (0, 14625, -7.333458649331292),
+                          (0, 14640, -7.333458649331292),
+                          (0, 14655, -7.333458649331292),
+                          (0, 14665, -7.333458649331292),
+                          (0, 14666, -7.333458649331292),
+                          (0, 14681, -7.333458649331292),
+                          (0, 14682, -6.664409020350408),
+                          (0, 14717, -7.333458649331292),
+                          (0, 14768, -7.333458649331292),
+                          (0, 14785, -7.333458649331292),
+                          (0, 14790, -6.664409020350408),
+                          (0, 14802, -7.333458649331292),
+                          (0, 15078, -7.333458649331292),
+                          (0, 15082, -6.664409020350408),
+                          (0, 15254, -7.333458649331292),
+                          (0, 15288, -7.333458649331292),
+                          (0, 15292, -7.333458649331292),
+                          (0, 15302, -7.333458649331292),
+                          (0, 15305, -7.333458649331292),
+                          (0, 15356, -7.333458649331292),
+                          (0, 15366, -7.333458649331292),
+                          (0, 15369, -7.333458649331292),
+                          (0, 15529, -7.333458649331292),
+                          (0, 15600, -5.983531932382276),
+                          (0, 15637, -7.333458649331292),
+                          (0, 15656, -7.333458649331292),
+                          (0, 15667, -7.333458649331292),
+                          (0, 15681, -7.333458649331292),
+                          (0, 15684, -7.333458649331292),
+                          (0, 15698, -5.983531932382276),
+                          (0, 15775, -6.267107222881404),
+                          (0, 15832, -7.333458649331292),
+                          (0, 15833, -7.333458649331292),
+                          (0, 15839, -6.664409020350408),
+                          (0, 15915, -6.664409020350408),
+                          (0, 15930, -7.333458649331292),
+                          (0, 15955, -7.333458649331292),
+                          (0, 16036, -6.664409020350408),
+                          (0, 16038, -7.333458649331292),
+                          (0, 16040, -7.333458649331292),
+                          (0, 16043, -7.333458649331292),
+                          (0, 16044, -6.664409020350408),
+                          (0, 16048, -6.664409020350408),
+                          (0, 16052, -7.333458649331292),
+                          (0, 16053, -7.333458649331292),
+                          (0, 16055, -7.333458649331292),
+                          (0, 16100, -7.333458649331292),
+                          (0, 16104, -7.333458649331292),
+                          (0, 16171, -6.267107222881404),
+                          (0, 16173, -7.333458649331292),
+                          (0, 16177, -6.664409020350408),
+                          (0, 16181, -7.333458649331292),
+                          (0, 16193, -7.333458649331292),
+                          (0, 16226, -7.333458649331292),
+                          (0, 16228, -7.333458649331292),
+                          (0, 16240, -6.664409020350408),
+                          (0, 16275, -7.333458649331292),
+                          (0, 16285, -7.333458649331292),
+                          (0, 16288, -7.333458649331292),
+                          (0, 16342, -7.333458649331292),
+                          (1, 144, -6.884827774338432),
+                          (1, 147, -6.884827774338432),
+                          (1, 353, -6.215778145357548),
+                          (1, 686, -6.884827774338432),
+                          (1, 1305, -6.884827774338432),
+                          (1, 1389, -6.884827774338432),
+                          (1, 1390, -6.884827774338432),
+                          (1, 1408, -6.884827774338432),
+                          (1, 1411, -6.215778145357548),
+                          (1, 1708, -6.884827774338432),
+                          (1, 1719, -6.884827774338432),
+                          (1, 1778, -6.884827774338432),
+                          (1, 1876, -6.884827774338432),
+                          (1, 1968, -6.884827774338432),
+                          (1, 1970, -6.884827774338432),
+                          (1, 1973, -6.884827774338432),
+                          (1, 1975, -6.884827774338432),
+                          (1, 1982, -6.884827774338432),
+                          (1, 1990, -5.818476347888544),
+                          (1, 2394, -6.884827774338432),
+                          (1, 2547, -6.884827774338432),
+                          (1, 2745, -6.884827774338432),
+                          (1, 3016, -6.884827774338432),
+                          (1, 3277, -6.884827774338432),
+                          (1, 3346, -6.215778145357548),
+                          (1, 3671, -6.884827774338432),
+                          (1, 3712, -6.884827774338432),
+                          (1, 3723, -6.884827774338432),
+                          (1, 3724, -6.884827774338432),
+                          (1, 3896, -6.884827774338432),
+                          (1, 3935, -6.884827774338432),
+                          (1, 4372, -6.884827774338432),
+                          (1, 4413, -6.884827774338432),
+                          (1, 4418, -6.884827774338432),
+                          (1, 4591, -6.215778145357548),
+                          (1, 4768, -6.884827774338432),
+                          (1, 4779, -6.884827774338432),
+                          (1, 5177, -6.884827774338432),
+                          (1, 5474, -6.884827774338432),
+                          (1, 5593, -6.884827774338432),
+                          (1, 5632, -6.884827774338432),
+                          (1, 5640, -6.884827774338432),
+                          (1, 5995, -6.215778145357548),
+                          (1, 6040, -6.884827774338432),
+                          (1, 6043, -6.884827774338432),
+                          (1, 6068, -6.884827774338432),
+                          (1, 6072, -6.884827774338432),
+                          (1, 6073, -6.215778145357548),
+                          (1, 6077, -6.215778145357548),
+                          (1, 6084, -6.884827774338432),
+                          (1, 6166, -6.884827774338432),
+                          (1, 6173, -6.884827774338432),
+                          (1, 6180, -6.884827774338432),
+                          (1, 6265, -6.884827774338432),
+                          (1, 6275, -6.884827774338432),
+                          (1, 6277, -6.215778145357548),
+                          (1, 6396, -6.884827774338432),
+                          (1, 6402, -6.884827774338432),
+                          (1, 6404, -6.215778145357548),
+                          (1, 6531, -6.884827774338432),
+                          (1, 6614, -6.884827774338432),
+                          (1, 6622, -6.884827774338432),
+                          (1, 6685, -6.884827774338432),
+                          (1, 7161, -6.884827774338432),
+                          (1, 7164, -6.884827774338432),
+                          (1, 7183, -6.884827774338432),
+                          (1, 7187, -6.884827774338432),
+                          (1, 7193, -6.884827774338432),
+                          (1, 7198, -6.884827774338432),
+                          (1, 7203, -6.884827774338432),
+                          (1, 7503, -6.884827774338432),
+                          (1, 7509, -6.884827774338432),
+                          (1, 7766, -6.884827774338432),
+                          (1, 7790, -6.884827774338432),
+                          (1, 7848, -6.884827774338432),
+                          (1, 8184, -6.884827774338432),
+                          (1, 8253, -6.884827774338432),
+                          (1, 8290, -6.884827774338432),
+                          (1, 8319, -6.884827774338432),
+                          (1, 8890, -6.215778145357548),
+                          (1, 9067, -6.884827774338432),
+                          (1, 9135, -6.884827774338432),
+                          (1, 9270, -6.884827774338432),
+                          (1, 9292, -6.884827774338432),
+                          (1, 9295, -6.884827774338432),
+                          (1, 9469, -6.884827774338432),
+                          (1, 9502, -6.884827774338432),
+                          (1, 9514, -6.215778145357548),
+                          (1, 9517, -6.884827774338432),
+                          (1, 9686, -6.884827774338432),
+                          (1, 9894, -6.884827774338432),
+                          (1, 9950, -6.884827774338432),
+                          (1, 10079, -6.884827774338432),
+                          (1, 10081, -6.884827774338432),
+                          (1, 10085, -6.215778145357548),
+                          (1, 10093, -6.884827774338432),
+                          (1, 10096, -6.884827774338432),
+                          (1, 10153, -6.884827774338432),
+                          (1, 10174, -6.884827774338432),
+                          (1, 10196, -6.884827774338432),
+                          (1, 10261, -6.884827774338432),
+                          (1, 10265, -4.980590321683687),
+                          (1, 10269, -6.884827774338432),
+                          (1, 10665, -6.884827774338432),
+                          (1, 10667, -6.884827774338432),
+                          (1, 10671, -6.884827774338432),
+                          (1, 10675, -6.215778145357548),
+                          (1, 10777, -6.215778145357548),
+                          (1, 10785, -6.884827774338432),
+                          (1, 10791, -6.884827774338432),
+                          (1, 10968, -6.884827774338432),
+                          (1, 11163, -6.884827774338432),
+                          (1, 11600, -6.884827774338432),
+                          (1, 11660, -6.884827774338432),
+                          (1, 11785, -6.215778145357548),
+                          (1, 11998, -6.884827774338432),
+                          (1, 12002, -6.884827774338432),
+                          (1, 12006, -6.884827774338432),
+                          (1, 12302, -6.884827774338432),
+                          (1, 12401, -6.215778145357548),
+                          (1, 12408, -6.884827774338432),
+                          (1, 12541, -6.884827774338432),
+                          (1, 12769, -6.884827774338432),
+                          (1, 12824, -6.215778145357548),
+                          (1, 12943, -6.884827774338432),
+                          (1, 12951, -6.884827774338432),
+                          (1, 13001, -6.884827774338432),
+                          (1, 13322, -6.884827774338432),
+                          (1, 13338, -6.215778145357548),
+                          (1, 13426, -6.215778145357548),
+                          (1, 13430, -6.884827774338432),
+                          (1, 13433, -5.818476347888544),
+                          (1, 13434, -6.215778145357548),
+                          (1, 13440, -6.215778145357548),
+                          (1, 13443, -6.884827774338432),
+                          (1, 13449, -6.884827774338432),
+                          (1, 13524, -6.884827774338432),
+                          (1, 13548, -6.884827774338432),
+                          (1, 13567, -6.215778145357548),
+                          (1, 13628, -6.884827774338432),
+                          (1, 13772, -6.884827774338432),
+                          (1, 14101, -6.884827774338432),
+                          (1, 14207, -6.884827774338432),
+                          (1, 14688, -6.884827774338432),
+                          (1, 14709, -6.884827774338432),
+                          (1, 14717, -6.884827774338432),
+                          (1, 14762, -6.884827774338432),
+                          (1, 14768, -6.884827774338432),
+                          (1, 15187, -6.884827774338432),
+                          (1, 15203, -6.215778145357548),
+                          (1, 15205, -6.884827774338432),
+                          (1, 15261, -6.884827774338432),
+                          (1, 15295, -6.884827774338432),
+                          (1, 15303, -6.884827774338432),
+                          (1, 15309, -6.884827774338432),
+                          (1, 15310, -6.884827774338432),
+                          (1, 15600, -5.818476347888544),
+                          (1, 15846, -6.884827774338432),
+                          (1, 16171, -5.818476347888544),
+                          (1, 16180, -4.847945847077392),
+                          (1, 16181, -6.884827774338432),
+                          (1, 16187, -6.884827774338432),
+                          (1, 16291, -6.884827774338432),
+                          (2, 33, -6.8110345810551545),
+                          (2, 353, -5.461107864106139),
+                          (2, 412, -6.8110345810551545),
+                          (2, 437, -6.8110345810551545),
+                          (2, 870, -6.8110345810551545),
+                          (2, 1228, -6.8110345810551545),
+                          (2, 1392, -6.8110345810551545),
+                          (2, 1407, -6.8110345810551545),
+                          (2, 1593, -6.8110345810551545),
+                          (2, 1778, -6.8110345810551545),
+                          (2, 1807, -6.8110345810551545),
+                          (2, 1847, -6.8110345810551545),
+                          (2, 1986, -6.8110345810551545),
+                          (2, 1988, -6.8110345810551545),
+                          (2, 1993, -6.8110345810551545),
+                          (2, 2123, -6.8110345810551545),
+                          (2, 2276, -6.8110345810551545),
+                          (2, 2569, -6.8110345810551545),
+                          (2, 2594, -6.8110345810551545),
+                          (2, 2599, -6.8110345810551545),
+                          (2, 2603, -6.14198495207427),
+                          (2, 3016, -6.14198495207427),
+                          (2, 3277, -5.461107864106139),
+                          (2, 3307, -6.8110345810551545),
+                          (2, 3318, -6.8110345810551545),
+                          (2, 3345, -6.8110345810551545),
+                          (2, 3433, -6.8110345810551545),
+                          (2, 3517, -6.8110345810551545),
+                          (2, 3521, -6.8110345810551545),
+                          (2, 3525, -6.14198495207427),
+                          (2, 3537, -6.8110345810551545),
+                          (2, 3705, -6.14198495207427),
+                          (2, 3727, -6.14198495207427),
+                          (2, 3757, -6.8110345810551545),
+                          (2, 3761, -6.8110345810551545),
+                          (2, 4288, -6.8110345810551545),
+                          (2, 4418, -6.8110345810551545),
+                          (2, 4758, -6.14198495207427),
+                          (2, 5014, -6.8110345810551545),
+                          (2, 5283, -6.8110345810551545),
+                          (2, 5291, -6.8110345810551545),
+                          (2, 5349, -6.8110345810551545),
+                          (2, 5625, -6.8110345810551545),
+                          (2, 5638, -6.8110345810551545),
+                          (2, 5661, -6.8110345810551545),
+                          (2, 6174, -6.14198495207427),
+                          (2, 6265, -6.8110345810551545),
+                          (2, 6284, -6.14198495207427),
+                          (2, 6574, -6.14198495207427),
+                          (2, 6607, -6.8110345810551545),
+                          (2, 6657, -6.8110345810551545),
+                          (2, 7145, -6.8110345810551545),
+                          (2, 7179, -6.8110345810551545),
+                          (2, 7180, -6.8110345810551545),
+                          (2, 7183, -6.8110345810551545),
+                          (2, 7191, -6.8110345810551545),
+                          (2, 7201, -6.8110345810551545),
+                          (2, 8227, -6.8110345810551545),
+                          (2, 8644, -6.8110345810551545),
+                          (2, 8962, -6.8110345810551545),
+                          (2, 9223, -6.8110345810551545),
+                          (2, 9469, -6.8110345810551545),
+                          (2, 9498, -5.744683154605267),
+                          (2, 9507, -6.8110345810551545),
+                          (2, 9508, -6.8110345810551545),
+                          (2, 9551, -6.8110345810551545),
+                          (2, 9809, -6.8110345810551545),
+                          (2, 9964, -6.8110345810551545),
+                          (2, 10082, -6.8110345810551545),
+                          (2, 10657, -6.8110345810551545),
+                          (2, 10666, -6.8110345810551545),
+                          (2, 10674, -6.8110345810551545),
+                          (2, 10699, -6.8110345810551545),
+                          (2, 10777, -6.8110345810551545),
+                          (2, 10968, -6.8110345810551545),
+                          (2, 11008, -6.14198495207427),
+                          (2, 11518, -6.8110345810551545),
+                          (2, 11596, -5.744683154605267),
+                          (2, 11658, -6.8110345810551545),
+                          (2, 11664, -6.8110345810551545),
+                          (2, 11668, -6.8110345810551545),
+                          (2, 12364, -6.8110345810551545),
+                          (2, 12401, -6.14198495207427),
+                          (2, 12479, -6.8110345810551545),
+                          (2, 12583, -6.8110345810551545),
+                          (2, 12608, -6.8110345810551545),
+                          (2, 12766, -6.8110345810551545),
+                          (2, 12886, -6.8110345810551545),
+                          (2, 13353, -6.8110345810551545),
+                          (2, 13430, -6.14198495207427),
+                          (2, 13434, -6.14198495207427),
+                          (2, 13532, -5.744683154605267),
+                          (2, 14665, -6.8110345810551545),
+                          (2, 14668, -6.8110345810551545),
+                          (2, 14717, -6.8110345810551545),
+                          (2, 14758, -6.8110345810551545),
+                          (2, 14762, -6.8110345810551545),
+                          (2, 14768, -6.8110345810551545),
+                          (2, 14785, -6.8110345810551545),
+                          (2, 14786, -6.14198495207427),
+                          (2, 15013, -6.8110345810551545),
+                          (2, 15185, -6.8110345810551545),
+                          (2, 15684, -6.8110345810551545),
+                          (2, 15846, -6.14198495207427),
+                          (2, 15945, -6.8110345810551545),
+                          (2, 16234, -6.8110345810551545),
+                          (2, 16275, -6.8110345810551545),
+                          (3, 612, -6.812083128912574),
+                          (3, 614, -6.812083128912574),
+                          (3, 628, -6.812083128912574),
+                          (3, 828, -6.812083128912574),
+                          (3, 961, -6.812083128912574),
+                          (3, 1051, -6.812083128912574),
+                          (3, 1653, -6.812083128912574),
+                          (3, 1657, -5.745731702462686),
+                          (3, 1703, -6.812083128912574),
+                          (3, 1891, -6.812083128912574),
+                          (3, 1969, -6.812083128912574),
+                          (3, 1971, -6.812083128912574),
+                          (3, 1979, -6.14303349993169),
+                          (3, 1984, -6.812083128912574),
+                          (3, 1987, -6.812083128912574),
+                          (3, 2111, -6.14303349993169),
+                          (3, 2556, -6.14303349993169),
+                          (3, 3184, -6.812083128912574),
+                          (3, 3433, -6.812083128912574),
+                          (3, 3449, -6.812083128912574),
+                          (3, 3450, -6.812083128912574),
+                          (3, 3517, -6.812083128912574),
+                          (3, 3521, -6.812083128912574),
+                          (3, 3762, -6.812083128912574),
+                          (3, 4284, -6.812083128912574),
+                          (3, 4398, -6.812083128912574),
+                          (3, 4666, -6.812083128912574),
+                          (3, 4943, -6.812083128912574),
+                          (3, 5182, -6.812083128912574),
+                          (3, 5297, -6.812083128912574),
+                          (3, 5350, -6.812083128912574),
+                          (3, 6164, -5.745731702462686),
+                          (3, 6166, -6.812083128912574),
+                          (3, 6180, -6.812083128912574),
+                          (3, 6186, -6.812083128912574),
+                          (3, 6279, -6.812083128912574),
+                          (3, 6284, -6.812083128912574),
+                          (3, 6285, -6.812083128912574),
+                          (3, 6402, -6.812083128912574),
+                          (3, 6403, -6.14303349993169),
+                          (3, 6404, -6.812083128912574),
+                          (3, 6652, -6.812083128912574),
+                          (3, 6991, -6.812083128912574),
+                          (3, 7095, -6.812083128912574),
+                          (3, 7197, -6.812083128912574),
+                          (3, 7213, -6.14303349993169),
+                          (3, 7547, -6.812083128912574),
+                          (3, 7551, -6.812083128912574),
+                          (3, 8261, -6.812083128912574),
+                          (3, 8290, -6.812083128912574),
+                          (3, 8311, -6.812083128912574),
+                          (3, 8394, -6.812083128912574),
+                          (3, 8396, -6.812083128912574),
+                          (3, 8718, -6.812083128912574),
+                          (3, 8890, -6.812083128912574),
+                          (3, 8913, -6.14303349993169),
+                          (3, 8917, -6.812083128912574),
+                          (3, 8924, -6.812083128912574),
+                          (3, 8927, -6.812083128912574),
+                          (3, 9285, -6.812083128912574),
+                          (3, 9469, -6.812083128912574),
+                          (3, 9507, -6.812083128912574),
+                          (3, 9510, -6.812083128912574),
+                          (3, 9511, -6.812083128912574),
+                          (3, 9514, -6.812083128912574),
+                          (3, 9809, -6.812083128912574),
+                          (3, 9846, -6.812083128912574),
+                          (3, 9850, -6.812083128912574),
+                          (3, 9898, -6.812083128912574),
+                          (3, 9908, -6.812083128912574),
+                          (3, 10074, -6.812083128912574),
+                          (3, 10076, -6.812083128912574),
+                          (3, 10077, -6.812083128912574),
+                          (3, 10078, -6.812083128912574),
+                          (3, 10089, -5.745731702462686),
+                          (3, 10092, -6.812083128912574),
+                          (3, 10094, -6.812083128912574),
+                          (3, 10095, -6.812083128912574),
+                          (3, 10168, -6.14303349993169),
+                          (3, 10653, -6.812083128912574),
+                          (3, 10655, -6.812083128912574),
+                          (3, 10666, -6.812083128912574),
+                          (3, 10668, -6.812083128912574),
+                          (3, 10712, -6.812083128912574),
+                          (3, 10968, -6.812083128912574),
+                          (3, 11320, -6.812083128912574),
+                          (3, 11660, -6.812083128912574),
+                          (3, 11785, -6.812083128912574),
+                          (3, 12031, -6.812083128912574),
+                          (3, 12065, -6.14303349993169),
+                          (3, 12118, -6.812083128912574),
+                          (3, 12162, -6.812083128912574),
+                          (3, 12401, -6.812083128912574),
+                          (3, 12478, -6.812083128912574),
+                          (3, 12541, -5.745731702462686),
+                          (3, 12881, -6.812083128912574),
+                          (3, 12943, -6.812083128912574),
+                          (3, 13284, -6.14303349993169),
+                          (3, 13368, -6.812083128912574),
+                          (3, 13522, -6.812083128912574),
+                          (3, 13542, -6.812083128912574),
+                          (3, 13797, -6.812083128912574),
+                          (3, 14168, -6.812083128912574),
+                          (3, 14208, -6.812083128912574),
+                          (3, 14682, -6.812083128912574),
+                          (3, 14794, -6.812083128912574),
+                          (3, 15013, -6.812083128912574),
+                          (3, 15225, -6.812083128912574),
+                          (3, 15600, -6.812083128912574),
+                          (3, 15661, -6.812083128912574),
+                          (3, 15952, -6.812083128912574),
+                          (3, 16047, -6.812083128912574),
+                          (3, 16171, -6.14303349993169),
+                          (3, 16187, -6.812083128912574),
+                          (3, 16190, -6.812083128912574),
+                          (3, 16253, -6.812083128912574),
+                          (3, 16279, -6.812083128912574),
+                          (4, 120, -6.81626636027959),
+                          (4, 144, -6.81626636027959),
+                          (4, 472, -6.81626636027959),
+                          (4, 670, -6.81626636027959),
+                          (4, 1026, -6.81626636027959),
+                          (4, 1051, -6.81626636027959),
+                          (4, 1134, -6.81626636027959),
+                          (4, 1178, -6.81626636027959),
+                          (4, 1609, -6.81626636027959),
+                          (4, 1653, -6.1472167312987045),
+                          (4, 1667, -6.81626636027959),
+                          (4, 1807, -6.81626636027959),
+                          (4, 1970, -6.1472167312987045),
+                          (4, 1972, -6.1472167312987045),
+                          (4, 1986, -6.81626636027959),
+                          (4, 1987, -6.81626636027959),
+                          (4, 2209, -6.81626636027959),
+                          (4, 2426, -6.81626636027959),
+                          (4, 2556, -6.81626636027959),
+                          (4, 2690, -6.1472167312987045),
+                          (4, 3160, -6.81626636027959),
+                          (4, 3277, -6.81626636027959),
+                          (4, 3318, -6.81626636027959),
+                          (4, 3356, -6.81626636027959),
+                          (4, 3449, -6.81626636027959),
+                          (4, 3521, -6.81626636027959),
+                          (4, 3666, -6.81626636027959),
+                          (4, 3679, -6.81626636027959),
+                          (4, 3762, -6.81626636027959),
+                          (4, 4525, -6.81626636027959),
+                          (4, 4657, -6.81626636027959),
+                          (4, 4894, -6.81626636027959),
+                          (4, 4943, -6.81626636027959),
+                          (4, 4944, -6.81626636027959),
+                          (4, 5247, -6.81626636027959),
+                          (4, 5251, -6.81626636027959),
+                          (4, 5346, -6.81626636027959),
+                          (4, 5445, -6.1472167312987045),
+                          (4, 5683, -6.81626636027959),
+                          (4, 5760, -6.81626636027959),
+                          (4, 6032, -6.81626636027959),
+                          (4, 6164, -6.81626636027959),
+                          (4, 6170, -6.81626636027959),
+                          (4, 6174, -6.81626636027959),
+                          (4, 6180, -6.81626636027959),
+                          (4, 6186, -6.81626636027959),
+                          (4, 6340, -6.81626636027959),
+                          (4, 6408, -6.81626636027959),
+                          (4, 6909, -6.81626636027959),
+                          (4, 7167, -6.81626636027959),
+                          (4, 7183, -6.81626636027959),
+                          (4, 7186, -6.81626636027959),
+                          (4, 7194, -6.81626636027959),
+                          (4, 7197, -6.81626636027959),
+                          (4, 7547, -6.81626636027959),
+                          (4, 7765, -6.81626636027959),
+                          (4, 7770, -6.81626636027959),
+                          (4, 7776, -6.1472167312987045),
+                          (4, 8247, -6.81626636027959),
+                          (4, 8263, -6.81626636027959),
+                          (4, 8627, -6.81626636027959),
+                          (4, 8719, -6.81626636027959),
+                          (4, 8771, -6.81626636027959),
+                          (4, 8913, -6.81626636027959),
+                          (4, 8917, -6.81626636027959),
+                          (4, 8927, -6.81626636027959),
+                          (4, 9067, -6.81626636027959),
+                          (4, 9497, -6.81626636027959),
+                          (4, 9500, -6.81626636027959),
+                          (4, 9809, -6.81626636027959),
+                          (4, 9908, -6.1472167312987045),
+                          (4, 9914, -6.81626636027959),
+                          (4, 9982, -6.81626636027959),
+                          (4, 10078, -6.81626636027959),
+                          (4, 10085, -6.81626636027959),
+                          (4, 10089, -6.1472167312987045),
+                          (4, 10094, -6.81626636027959),
+                          (4, 10153, -6.81626636027959),
+                          (4, 10160, -6.81626636027959),
+                          (4, 10206, -6.81626636027959),
+                          (4, 10361, -6.81626636027959),
+                          (4, 10656, -6.81626636027959),
+                          (4, 10709, -6.81626636027959),
+                          (4, 10777, -6.1472167312987045),
+                          (4, 10968, -6.81626636027959),
+                          (4, 11052, -6.81626636027959),
+                          (4, 11680, -6.81626636027959),
+                          (4, 11710, -6.81626636027959),
+                          (4, 11785, -6.1472167312987045),
+                          (4, 11788, -6.81626636027959),
+                          (4, 12031, -6.81626636027959),
+                          (4, 12200, -6.81626636027959),
+                          (4, 12401, -6.81626636027959),
+                          (4, 12446, -6.81626636027959),
+                          (4, 12475, -6.81626636027959),
+                          (4, 12485, -6.81626636027959),
+                          (4, 12877, -6.81626636027959),
+                          (4, 12943, -6.81626636027959),
+                          (4, 13284, -6.81626636027959),
+                          (4, 13352, -6.81626636027959),
+                          (4, 13368, -6.1472167312987045),
+                          (4, 13522, -6.1472167312987045),
+                          (4, 13535, -6.81626636027959),
+                          (4, 13537, -6.1472167312987045),
+                          (4, 13542, -5.749914933829701),
+                          (4, 13548, -6.81626636027959),
+                          (4, 13551, -6.81626636027959),
+                          (4, 14196, -6.81626636027959),
+                          (4, 14717, -6.81626636027959),
+                          (4, 14777, -6.81626636027959),
+                          (4, 15078, -6.81626636027959),
+                          (4, 15082, -6.81626636027959),
+                          (4, 15185, -6.81626636027959),
+                          (4, 15202, -6.81626636027959),
+                          (4, 15206, -6.81626636027959),
+                          (4, 15821, -6.81626636027959),
+                          (4, 15925, -6.81626636027959),
+                          (4, 16039, -6.81626636027959),
+                          (4, 16040, -6.81626636027959),
+                          (4, 16047, -6.81626636027959),
+                          (4, 16048, -6.81626636027959),
+                          (4, 16052, -6.81626636027959),
+                          (4, 16173, -6.81626636027959),
+                          (4, 16187, -6.81626636027959),
+                          (5, 507, -6.7072115595851685),
+                          (5, 844, -6.7072115595851685),
+                          (5, 1795, -6.7072115595851685),
+                          (5, 2158, -6.7072115595851685),
+                          (5, 2513, -6.7072115595851685),
+                          (5, 2819, -6.7072115595851685),
+                          (5, 2998, -6.7072115595851685),
+                          (5, 3165, -6.7072115595851685),
+                          (5, 3627, -6.7072115595851685),
+                          (5, 3869, -6.7072115595851685),
+                          (5, 3910, -6.7072115595851685),
+                          (5, 4201, -6.7072115595851685),
+                          (5, 4711, -6.7072115595851685),
+                          (5, 6075, -6.7072115595851685),
+                          (5, 6204, -6.7072115595851685),
+                          (5, 7682, -6.7072115595851685),
+                          (5, 7981, -6.7072115595851685),
+                          (5, 7995, -6.7072115595851685),
+                          (5, 8005, -6.7072115595851685),
+                          (5, 8212, -6.7072115595851685),
+                          (5, 8492, -6.7072115595851685),
+                          (5, 9131, -6.7072115595851685),
+                          (5, 9177, -6.7072115595851685),
+                          (5, 10137, -6.7072115595851685),
+                          (5, 10494, -6.7072115595851685),
+                          (5, 10722, -6.7072115595851685),
+                          (5, 11081, -6.7072115595851685),
+                          (5, 11347, -6.7072115595851685),
+                          (5, 11873, -6.7072115595851685),
+                          (5, 11911, -6.7072115595851685),
+                          (5, 13499, -6.7072115595851685),
+                          (5, 13662, -6.7072115595851685),
+                          (5, 13729, -6.7072115595851685),
+                          (5, 14355, -6.7072115595851685),
+                          (5, 14457, -6.7072115595851685),
+                          (5, 14492, -6.7072115595851685),
+                          (5, 14627, -6.7072115595851685),
+                          (5, 14685, -6.7072115595851685),
+                          (5, 15378, -6.7072115595851685),
+                          (5, 15880, -6.7072115595851685)
+            ),
+            langs(lang_idx, lang_pred, base) AS (
+              VALUES (0, 'la', -10.377981087054716),
+                          (1, 'en', -9.929350212061856),
+                          (2, 'de', -9.855557018778578),
+                          (3, 'fr', -9.856605566635997),
+                          (4, 'es', -9.860788798003012),
+                          (5, 'zh', -9.751733997308591)
+            ),
+            scored AS (
+              SELECT tr.doc_id, tr.true_lang, l.lang_idx, l.lang_pred,
+                     sum(coalesce(m.logp, l.base)) AS score
+              FROM tri tr CROSS JOIN langs l
+              LEFT JOIN model m ON m.lang_idx = l.lang_idx AND m.bucket = tr.bucket
+              GROUP BY tr.doc_id, tr.true_lang, l.lang_idx, l.lang_pred
+            ),
+            pred AS (
+              SELECT doc_id, true_lang, lang_pred,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang_idx DESC) AS rn
+              FROM scored
+            )
+            SELECT true_lang AS lang, lang_pred, count(*) AS n_docs
+            FROM pred WHERE rn = 1 GROUP BY true_lang, lang_pred
         """,
         "perplexity_stats": """
             WITH t AS (
