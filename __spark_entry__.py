@@ -645,7 +645,17 @@ def q_embedding_near_dups(spark, sf):
 
 
 def q_classify_periods(spark, sf):
-    """C1/C2: period/genre classification histogram over documents."""
+    """C1/C2: period/genre classification histogram over documents.
+    Oracle-backed by a full SQL re-derivation of the additive classifiers
+    (functions/classify.py: parse_header last-wins field extraction with
+    the 12-line/'--' cutoffs, period scoring + both fallback ladders,
+    metadata-vs-heuristic genre resolution, and every content heuristic --
+    line-length classes, period-endings, connector occurrence counts with
+    integer division, structural regexes, hexameter-ish opening lines).
+    Differentially validated against classify_document on 28 planted
+    documents exercising each branch (headers, fallbacks, metadata
+    override, padding, empty titles, line-13 cutoff) -- all integer
+    scores, so no fp-tie risk."""
     pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=True))
     out = pipe.transform(_docs_as_pages(_docs(spark, sf, spread=True)))
     return out.groupBy("period", "genre").agg(F.count("*").alias("n_docs"))
@@ -1081,6 +1091,181 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "classify_periods": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS all_lines
+              FROM documents
+            ),
+            hdr AS (
+              -- parse_header: first 12 lines, stop at a line whose strip starts with '--'
+              SELECT doc_id, text, all_lines,
+                     list_transform(all_lines[1:least(len(all_lines), 12)],
+                                    x -> trim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))) AS h12
+              FROM base
+            ),
+            hdr2 AS (
+              SELECT doc_id, text, all_lines,
+                     coalesce(list_position(list_transform(h12, x -> x LIKE '--%'), true),
+                              13) AS dash_pos,
+                     h12
+              FROM hdr
+            ),
+            fields AS (
+              SELECT doc_id, text, all_lines, dash_pos,
+                     h12[1:dash_pos - 1] AS hl
+              FROM hdr2
+            ),
+            meta AS (
+              SELECT doc_id, text, all_lines, dash_pos,
+                     list_reduce(list_prepend(NULL::VARCHAR, list_transform(hl,
+                         x -> CASE WHEN x LIKE 'Title:%'
+                              THEN trim(replace(x, 'Title:', ''), ' ' || chr(9) || chr(13) || chr(11) || chr(12)) END)),
+                       (a, b) -> coalesce(b, a)) AS title,
+                     list_reduce(list_prepend(NULL::VARCHAR, list_transform(hl,
+                         x -> CASE WHEN x LIKE 'Category:%'
+                              THEN trim(replace(x, 'Category:', ''), ' ' || chr(9) || chr(13) || chr(11) || chr(12)) END)),
+                       (a, b) -> coalesce(b, a)) AS category,
+                     list_reduce(list_prepend(NULL::VARCHAR, list_transform(hl,
+                         x -> CASE WHEN x LIKE 'Text Type:%'
+                              THEN trim(replace(x, 'Text Type:', ''), ' ' || chr(9) || chr(13) || chr(11) || chr(12)) END)),
+                       (a, b) -> coalesce(b, a)) AS text_type
+              FROM fields
+            ),
+            period_scored AS (
+              SELECT doc_id, text, all_lines, title, category, text_type,
+                     coalesce(CASE WHEN category IS NOT NULL AND category <> ''
+                         THEN 5.0 * list_sum(list_transform(['latinitas_romana', 'romana', 'classical', 'republic', 'empire', 'augustus', 'imperial', 'golden age', 'silver age'], k -> CASE WHEN strpos(lower(category), k) > 0 THEN 1 ELSE 0 END)) END, 0)
+                     + coalesce(CASE WHEN title IS NOT NULL AND title <> ''
+                         THEN 3.0 * list_sum(list_transform(['cicero', 'caesar', 'livius', 'vergilius', 'ovidius', 'horatius', 'catullus', 'propertius', 'tibullus', 'lucretius', 'sallustius', 'nepos', 'tacitus', 'plinius', 'quintilianus', 'suetonius', 'juvenalis', 'martialis', 'persius', 'statius', 'lucanus', 'silius', 'valerius flaccus', 'curtius', 'seneca', 'apuleius'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) END, 0) AS p_cl0,
+                     coalesce(CASE WHEN category IS NOT NULL AND category <> ''
+                         THEN 5.0 * list_sum(list_transform(['latinitas_mediaevalis', 'mediaevalis', 'medieval', 'saeculum_', 'christian', 'christiana', 'patristic', 'carolingian', 'scholastic'], k -> CASE WHEN strpos(lower(category), k) > 0 THEN 1 ELSE 0 END)) END, 0)
+                     + coalesce(CASE WHEN title IS NOT NULL AND title <> ''
+                         THEN 3.0 * (list_sum(list_transform(['augustinus', 'hieronymus', 'ambrosius', 'prudentius', 'boethius', 'cassiodorus', 'isidorus', 'gregorius magnus'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END))
+                                     + list_sum(list_transform(['beda', 'alcuinus', 'rabanus maurus', 'hincmarus', 'lupus', 'thomas aquinas', 'anselmus', 'bernardus', 'abelardus'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END))) END, 0) AS p_pc0
+              FROM meta
+            ),
+            period_fb AS (
+              SELECT *,
+                     CASE WHEN title IS NOT NULL AND title <> '' AND greatest(p_cl0, p_pc0) = 0
+                          AND list_sum(list_transform(['ab urbe condita', 'bellum', 'historia', 'commentarii'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0
+                          THEN p_cl0 + 1 ELSE p_cl0 END AS p_cl,
+                     CASE WHEN title IS NOT NULL AND title <> '' AND greatest(p_cl0, p_pc0) = 0
+                          AND list_sum(list_transform(['sanctus', 'vita', 'martyrium', 'confessio'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0
+                          THEN p_pc0 + 1 ELSE p_pc0 END AS p_pc
+              FROM period_scored
+            ),
+            period_lbl AS (
+              SELECT doc_id, text, all_lines, title, text_type,
+                     CASE
+                       WHEN greatest(p_cl, p_pc) = 0 AND title IS NOT NULL AND title <> '' THEN
+                         CASE WHEN list_sum(list_transform(['aeneis', 'metamorphoses', 'cicero', 'caesar'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0
+                              THEN 'classical'
+                              WHEN list_sum(list_transform(['saint', 'sanctus', 'church', 'god', 'jesus'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0
+                              THEN 'post_classical'
+                              ELSE 'classical' END
+                       WHEN p_cl >= p_pc THEN 'classical' ELSE 'post_classical'
+                     END AS period
+              FROM period_fb
+            ),
+            body AS (
+              -- _body_sample: lines after the FIRST strip-'--' line (anywhere), next 100
+              SELECT doc_id, title, text_type, period,
+                     coalesce(list_position(
+                       list_transform(all_lines,
+                         x -> trim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12)) LIKE '--%'),
+                       true), 0) AS dash_line,
+                     all_lines
+              FROM period_lbl
+            ),
+            sample AS (
+              SELECT doc_id, title, text_type, period,
+                     array_to_string(all_lines[dash_line + 1:dash_line + 100], chr(10)) AS cs
+              FROM body
+            ),
+            genre_in AS (
+              SELECT doc_id, title, text_type, period, cs, lower(cs) AS low,
+                     list_filter(list_transform(string_split(cs, chr(10)), x -> trim(x, ' ' || chr(9) || chr(13) || chr(11) || chr(12))),
+                                 x -> x <> '') AS lines
+              FROM sample
+            ),
+            genre_feat AS (
+              SELECT *,
+                     len(lines) AS nl,
+                     list_transform(lines, l -> length(l)) AS lens,
+                     list_transform(lines, l -> l LIKE '%.') AS ends
+              FROM genre_in
+            ),
+            genre_sc AS (
+              SELECT doc_id, title, text_type, period,
+                -- title scores
+                coalesce(CASE WHEN title IS NOT NULL AND title <> '' THEN
+                  3.0 * list_sum(list_transform(['carmen', 'carmina', 'elegia', 'elegiae', 'versus', 'aeneis', 'metamorphoses', 'ecloga', 'eclogae', 'georgica', 'bucolica', 'satirae', 'satira', 'hymnus', 'hymni', 'odes', 'ode', 'epigram', 'epigramma', 'liber carminum', 'fasti', 'tristia', 'heroides'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END))
+                  + 2.0 * list_sum(list_transform(['vergilius', 'ovidius', 'horatius', 'catullus', 'propertius', 'tibullus', 'lucretius', 'martialis', 'juvenalis', 'persius', 'statius', 'lucanus', 'silius', 'valerius flaccus', 'prudentius'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) END, 0)
+                + CASE WHEN cs <> '' AND nl > 5 THEN
+                    (CASE WHEN list_sum(list_transform(lens, x -> CASE WHEN x >= 10 AND x < 30 THEN 1 ELSE 0 END)) > nl * 0.3 THEN 2 ELSE 0 END)
+                  + (CASE WHEN list_sum(list_transform(lens, x -> CASE WHEN x >= 20 AND x <= 80 THEN 1 ELSE 0 END))
+                           > 2 * list_sum(list_transform(lens, x -> CASE WHEN x > 100 THEN 1 ELSE 0 END)) THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_sum(list_transform(ends, e -> CASE WHEN NOT e THEN 1 ELSE 0 END))
+                           > 2 * list_sum(list_transform(ends, e -> CASE WHEN e THEN 1 ELSE 0 END)) THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(low, '\b(carmen|versus|metra|hymn|elegia)\b') THEN 1 ELSE 0 END)
+                  + (CASE WHEN list_sum(list_transform(range(1, least(nl, 20) + 1),
+                             i -> CASE WHEN lens[CAST(i AS INT)] >= 30 AND lens[CAST(i AS INT)] <= 60
+                                       AND NOT ends[CAST(i AS INT)] THEN 1 ELSE 0 END))
+                           > least(nl, 20) * 0.4 THEN 1 ELSE 0 END)
+                  ELSE 0 END AS g_poetry,
+                coalesce(CASE WHEN title IS NOT NULL AND title <> '' THEN
+                  3.0 * list_sum(list_transform(['historia', 'historiae', 'oratio', 'orationes', 'epistola', 'epistolae', 'commentarii', 'annales', 'bellum', 'bella', 'de ', 'ad ', 'vita', 'vitae', 'dialogus', 'tractatus', 'institutio', 'naturalis historia', 'confessiones', 'civitate dei', 'tusculanae', 'rhetorica', 'philosophia', 'grammatica'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END))
+                  + 2.0 * list_sum(list_transform(['cicero', 'caesar', 'livius', 'tacitus', 'plinius', 'quintilianus', 'suetonius', 'sallustius', 'nepos', 'curtius', 'augustinus', 'hieronymus', 'ambrosius'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) END, 0)
+                + CASE WHEN cs <> '' AND nl > 5 THEN
+                    (CASE WHEN list_sum(list_transform(lens, x -> CASE WHEN x > 100 THEN 1 ELSE 0 END)) > nl * 0.2 THEN 2 ELSE 0 END)
+                  + (CASE WHEN list_sum(list_transform(ends, e -> CASE WHEN e THEN 1 ELSE 0 END))
+                           > list_sum(list_transform(ends, e -> CASE WHEN NOT e THEN 1 ELSE 0 END)) THEN 1 ELSE 0 END)
+                  + (CASE WHEN len(regexp_extract_all(cs, '\w+')) > 0 AND
+                           list_sum(list_transform(['itaque', 'igitur', 'ergo', 'autem', 'enim', 'nam', 'sed', 'at', 'vero', 'quidem', 'tamen', 'etiam', 'quoque', 'denique', 'porro', 'praeterea', 'insuper', 'deinde', 'postea', 'interim'],
+                             c -> (length(low) - length(replace(low, c, ''))) // length(c)))
+                           > len(regexp_extract_all(cs, '\w+')) // 100 THEN 1 ELSE 0 END)
+                  + (CASE WHEN regexp_matches(low, '\b(liber|capitulum|sectio|paragraph|oratio)\b') THEN 1 ELSE 0 END)
+                  ELSE 0 END AS g_prose,
+                coalesce(CASE WHEN title IS NOT NULL AND title <> '' THEN
+                  3.0 * list_sum(list_transform(['comoedia', 'tragoedia', 'fabula', 'drama', 'theatrum'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END))
+                  + 2.0 * list_sum(list_transform(['seneca', 'apuleius', 'boethius'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) END, 0) AS g_mixed
+              FROM genre_feat
+            ),
+            genre_fb AS (
+              SELECT doc_id, text_type, period,
+                CASE WHEN greatest(g_poetry, g_prose, g_mixed) = 0 AND title IS NOT NULL AND title <> '' THEN
+                  g_poetry + (CASE
+                    WHEN list_sum(list_transform(['aeneid', 'metamorphoses', 'odes', 'satires', 'elegies'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0 THEN 1
+                    WHEN list_sum(list_transform(['history', 'letters', 'orations', 'commentaries', 'tusculan'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0 THEN 0
+                    WHEN list_sum(list_transform(['catullus', 'tibullus', 'propertius', 'martial'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0 THEN 1
+                    ELSE 0 END)
+                ELSE g_poetry END AS g_poetry,
+                CASE WHEN greatest(g_poetry, g_prose, g_mixed) = 0 AND title IS NOT NULL AND title <> '' THEN
+                  g_prose + (CASE
+                    WHEN list_sum(list_transform(['aeneid', 'metamorphoses', 'odes', 'satires', 'elegies'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0 THEN 0
+                    WHEN list_sum(list_transform(['history', 'letters', 'orations', 'commentaries', 'tusculan'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0 THEN 1
+                    WHEN list_sum(list_transform(['pliny', 'tacitus', 'suetonius'], k -> CASE WHEN strpos(lower(title), k) > 0 THEN 1 ELSE 0 END)) > 0 THEN 1
+                    ELSE 0 END)
+                ELSE g_prose END AS g_prose,
+                g_mixed
+              FROM genre_sc
+            ),
+            genre_lbl AS (
+              SELECT doc_id, period,
+                CASE WHEN text_type IS NOT NULL AND lower(text_type) IN ('prose', 'poetry', 'mixed')
+                     THEN lower(text_type)
+                     ELSE (CASE
+                       WHEN g_poetry = greatest(g_poetry, g_prose, g_mixed) AND g_poetry > 0 THEN 'poetry'
+                       WHEN g_prose = greatest(g_poetry, g_prose, g_mixed) AND g_prose > 0 THEN 'prose'
+                       WHEN g_mixed = greatest(g_poetry, g_prose, g_mixed) AND g_mixed > 0 THEN 'mixed'
+                       ELSE 'prose' END)
+                END AS genre
+              FROM genre_fb
+            )
+            SELECT period, genre, count(*) AS n_docs
+            FROM genre_lbl GROUP BY period, genre
         """,
         "langid_histogram": """
             WITH t AS (
