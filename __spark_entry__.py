@@ -1092,7 +1092,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
-        "classify_periods": """
+        "classify_periods": r"""
             WITH base AS (
               SELECT doc_id, text,
                      string_split(text, chr(10)) AS all_lines
@@ -2445,7 +2445,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE dups.doc_id IS NULL
             GROUP BY d.lang
         """,
-        "simhash_pairs": """
+        "simhash_pairs": r"""
             WITH toks AS (
               SELECT doc_id, u.tok
               FROM documents, UNNEST(regexp_extract_all(lower(text), '\S+')) AS u(tok)

@@ -58,6 +58,22 @@ PLANTED = [
     "--\nimmediate dash\n" + POEM,
     "   Title: padded header\n--\n" + PROSE,                    # strip-then-startswith
     "a\nb\nc\nd\ne\nf\ng\nh\ni\nj\nk\nl\nTitle: too late\n--\n" + PROSE,
+    # structural-regex branches IN THE BODY (these caught a raw-string bug:
+    # '\b' in a non-raw oracle string silently became a backspace char)
+    "--\n" + "hic versus et carmen resonant in pagina nostra hodie.\n" * 8,
+    "--\n" + "liber primus et oratio secunda de capitulum tertium scripta.\n" * 8,
+    "--\n" + ("versus carmen hymn\n" * 4) + PROSE,   # poetry struct + prose shape
+    # struct-DECISIVE docs: the regex hit is what breaks the scoring tie,
+    # so a corrupted '\b' flips the label and fails this test
+    "--\n" + "\n".join(
+        ["versus brevis hic"[:15]] * 4
+        + [(("longa linea " * 12).strip() + " carmen finis est.")[:150] + "."] * 6
+    ),
+    "--\n" + "\n".join(
+        ["brevis hic est"[:14]] * 4
+        + [(("itaque igitur ergo autem enim nam sed at vero quidem tamen "
+             "etiam " * 2).strip() + " liber capitulum")[:150]] * 6
+    ),
 ]
 
 
