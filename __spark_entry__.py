@@ -436,6 +436,19 @@ def q_hash_split_counts(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic per-language stratified sample (training-mix ratios):
+    nested md5-bucket selection, engine-portable, zero shuffle."""
+    d = _docs(spark, sf)
+    sampled = sampling.stratified_sample(
+        d, "lang", {"en": 0.5, "la": 1.0, "zh": 0.1}, default_fraction=0.25
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("doc_id")).alias("id_sum"),  # witnesses WHICH rows survived
+    )
+
+
 def q_domain_cap(spark, sf):
     """Per-domain quota cap (domain balancing): keep the k smallest doc_ids
     per source, report survivors per source."""
@@ -696,7 +709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "hash_split_counts": q_hash_split_counts,
         "domain_cap": q_domain_cap,
-        # non-SQL-expressible (rows-only)
+        "stratified_sample": q_stratified_sample,
+        # the remaining three (bpe / pipeline byte-fidelity) are the only
+        # rows-only entries; everything else below carries an oracle
         "sentence_chunks": q_sentence_chunks,
         "bpe_token_stats": q_bpe_token_stats,
         "winnowing_pairs": q_winnowing_pairs,
@@ -1056,6 +1071,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id,
                    CAST(least(id, min(reach)) AS BIGINT) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT lang, doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 AS bucket
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM b
+            WHERE bucket < (CASE lang WHEN 'en' THEN 5000 WHEN 'la' THEN 10000
+                            WHEN 'zh' THEN 1000 ELSE 2500 END)
+            GROUP BY lang
         """,
         "hash_split_counts": f"""
             WITH b AS (

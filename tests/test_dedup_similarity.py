@@ -481,3 +481,35 @@ def test_ivf_centroids_deterministic_and_normalized(clustered_vecs):
     assert np.array_equal(c1, c2)
     assert c1.shape == (8, 64)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    rows = [(i, ["en", "la", "zh"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    small = sampling.stratified_sample(df, "lang", {"en": 0.3}, default_fraction=0.2)
+    big = sampling.stratified_sample(df, "lang", {"en": 0.6}, default_fraction=0.4)
+    s_ids = {r["doc_id"] for r in small.collect()}
+    b_ids = {r["doc_id"] for r in big.collect()}
+    assert s_ids <= b_ids, "nested-sample property violated"
+    # deterministic across invocations
+    again = {r["doc_id"] for r in
+             sampling.stratified_sample(df, "lang", {"en": 0.3},
+                                        default_fraction=0.2).collect()}
+    assert again == s_ids
+    # per-stratum fractions roughly honored (md5 buckets are uniform)
+    by_lang = {r["lang"]: r["n"] for r in
+               small.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(by_lang["en"] / 1000 - 0.3) < 0.05
+    assert abs(by_lang.get("la", 0) / 1000 - 0.2) < 0.05
+
+
+def test_stratified_sample_rejects_bad_fractions(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, "lang", {}, default_fraction=-0.1)

@@ -83,3 +83,37 @@ def domain_cap(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a stable
+    ``fractions[stratum]`` share of each stratum (e.g. per-language mixing
+    ratios for a training corpus), falling back to ``default_fraction`` for
+    unlisted strata.
+
+    Same md5-bucket mechanism as hash_split, so (a) the SAME row survives
+    across runs, engines, and cluster sizes, (b) a row kept at fraction f
+    is also kept at every fraction > f (nested samples: growing a mix never
+    churns the subset already shipped), and (c) the selection is exactly
+    re-derivable in SQL -- the driver oracle re-computes it in DuckDB.
+    Pure Catalyst projection: no shuffle, no RNG, no state.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    bucket = split_bucket_col(F.col(key_col))
+    threshold = F.lit(int(round(default_fraction * SPLIT_BUCKETS)))
+    for name, frac in fractions.items():
+        threshold = (
+            F.when(F.col(strata_col) == name, int(round(frac * SPLIT_BUCKETS)))
+            .otherwise(threshold)
+        )
+    return df.where(bucket < threshold)
