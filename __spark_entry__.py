@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from wikisource_latin_text_cleaner_spark.functions import quality, udfs  # noqa: E402
+from wikisource_latin_text_cleaner_spark.functions import urls as urlsx  # noqa: E402
 from wikisource_latin_text_cleaner_spark.functions import html as htmlx  # noqa: E402
 from wikisource_latin_text_cleaner_spark.operators import (  # noqa: E402
     dedup,
@@ -436,6 +437,31 @@ def q_hash_split_counts(spark, sf):
     )
 
 
+def q_url_canonical_dedup(spark, sf):
+    """URL canonicalization -> exact dedup by canonical URL. The raw URLs
+    are synthesized deterministically from doc_id/source (mixed-case hosts,
+    default ports, tracking params, fragments, trailing slashes) in BOTH
+    engines, so the oracle differential exercises every canonicalization
+    rule on every row (functions/urls.py; regexes chosen to evaluate
+    identically under Java regex and RE2)."""
+    d = _docs(spark, sf)
+    raw = F.concat(
+        F.lit("HTTP://Example-"), F.col("source"), F.lit(".COM:80/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/?utm_source=x&id="), F.col("doc_id").cast("string"),
+                        F.lit("&utm_medium=y")))
+         .when(F.col("doc_id") % 3 == 1, F.lit("/#section-2"))
+         .otherwise(F.lit("/")),
+    )
+    canon = d.select(F.col("source"), urlsx.canonicalize_url(raw).alias("canon_url"))
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("canon_url").alias("n_canonical"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("canon_url")))).alias("canon_md5"),
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic per-language stratified sample (training-mix ratios):
     nested md5-bucket selection, engine-portable, zero shuffle."""
@@ -710,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_counts": q_hash_split_counts,
         "domain_cap": q_domain_cap,
         "stratified_sample": q_stratified_sample,
+        "url_canonical_dedup": q_url_canonical_dedup,
         # the remaining three (bpe / pipeline byte-fidelity) are the only
         # rows-only entries; everything else below carries an oracle
         "sentence_chunks": q_sentence_chunks,
@@ -1071,6 +1098,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id,
                    CAST(least(id, min(reach)) AS BIGINT) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "url_canonical_dedup": r"""
+            WITH raw_urls AS (
+              SELECT source,
+                     'HTTP://Example-' || source || '.COM:80/Docs/'
+                     || CAST(doc_id AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0
+                          THEN '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+                               || '&utm_medium=y'
+                          WHEN doc_id % 3 = 1 THEN '/#section-2'
+                          ELSE '/' END) AS raw
+              FROM documents
+            ),
+            canon AS (
+              SELECT source, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace((lower(regexp_extract(regexp_replace(raw, '#.*$', ''), '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1)) || regexp_replace(regexp_replace(raw, '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', '')), '^(http://[^/:?#]+):80([/?].*)?$', '\1\2'), '^(https://[^/:?#]+):443([/?].*)?$', '\1\2'), '&(utm_[^&=]*=[^&]*|fbclid=[^&]*|gclid=[^&]*)', '', 'g'), '\?(utm_[^&=]*=[^&]*|fbclid=[^&]*|gclid=[^&]*)&', '?', 'g'), '\?(utm_[^&=]*=[^&]*|fbclid=[^&]*|gclid=[^&]*)$', ''), '([^/])/+$', '\1') AS canon_url FROM raw_urls
+            )
+            SELECT source, count(*) AS n_urls,
+                   count(DISTINCT canon_url) AS n_canonical,
+                   md5(array_to_string(list_sort(list(canon_url)), '|')) AS canon_md5
+            FROM canon GROUP BY source
         """,
         "stratified_sample": """
             WITH b AS (

@@ -100,3 +100,13 @@ def test_docs_spread_skips_shuffle_on_well_partitioned_input(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one") + "/documents.parquet")
     spread = entry_mod._docs(spark, str(tmp_path / "one"), spread=True)
     assert spread.rdd.getNumPartitions() >= n
+
+
+def test_no_oracle_sql_contains_control_chars():
+    """Guard against the '\\1'-in-a-non-raw-string class of bug: a plain
+    Python string turns \\1 into chr(1) and \\b into backspace, silently
+    corrupting the SQL the driver runs. Any control character below \\t in
+    an oracle string is such a mangling, never intentional SQL."""
+    for name, sql in ORACLES.items():
+        mangled = [hex(ord(c)) for c in sql if ord(c) < 9]
+        assert not mangled, (name, mangled)
