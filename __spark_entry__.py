@@ -30,6 +30,7 @@ from wikisource_latin_text_cleaner_spark.functions import quality, udfs  # noqa:
 from wikisource_latin_text_cleaner_spark.functions import urls as urlsx  # noqa: E402
 from wikisource_latin_text_cleaner_spark.functions import html as htmlx  # noqa: E402
 from wikisource_latin_text_cleaner_spark.operators import (  # noqa: E402
+    decontaminate,
     dedup,
     multimodal,
     sampling,
@@ -437,6 +438,20 @@ def q_hash_split_counts(spark, sf):
     )
 
 
+def q_decontamination(spark, sf):
+    """Benchmark decontamination (GPT-3-style 13-gram rule): the synthetic
+    benchmark is every doc with doc_id % 97 == 0, so its source docs (and
+    any true duplicates of them) must flag and nothing else -- the oracle
+    re-derives the exact gram join in SQL."""
+    d = _docs(spark, sf)
+    bench = d.where(F.col("doc_id") % 97 == 0).select("text")
+    flagged = decontaminate.flag_contaminated(d, bench)
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_contaminated").cast("long")).alias("n_contaminated"),
+    )
+
+
 def q_url_canonical_dedup(spark, sf):
     """URL canonicalization -> exact dedup by canonical URL. The raw URLs
     are synthesized deterministically from doc_id/source (mixed-case hosts,
@@ -737,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "stratified_sample": q_stratified_sample,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "decontamination": q_decontamination,
         # the remaining three (bpe / pipeline byte-fidelity) are the only
         # rows-only entries; everything else below carries an oracle
         "sentence_chunks": q_sentence_chunks,
@@ -1098,6 +1114,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id,
                    CAST(least(id, min(reach)) AS BIGINT) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "decontamination": """
+            WITH grams AS (
+              SELECT doc_id, lang, u.g
+              FROM (
+                SELECT doc_id, lang,
+                       list_distinct(list_transform(
+                         range(1, greatest(len(regexp_extract_all(lower(text), '\w+')) - 11, 1)),
+                         i -> array_to_string(
+                                regexp_extract_all(lower(text), '\w+')[CAST(i AS INT):CAST(i AS INT) + 12],
+                                ' '))) AS gs
+                FROM documents
+              ), UNNEST(gs) AS u(g)
+            ),
+            bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            ),
+            hits AS (
+              SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+            )
+            SELECT d.lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            GROUP BY d.lang
         """,
         "url_canonical_dedup": r"""
             WITH raw_urls AS (

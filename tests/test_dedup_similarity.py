@@ -513,3 +513,35 @@ def test_stratified_sample_rejects_bad_fractions(spark):
         sampling.stratified_sample(df, "lang", {"en": 1.5})
     with pytest.raises(ValueError):
         sampling.stratified_sample(df, "lang", {}, default_fraction=-0.1)
+
+
+def test_flag_contaminated_thirteen_gram_rule(spark):
+    from wikisource_latin_text_cleaner_spark.operators import decontaminate
+
+    words13 = " ".join(f"w{i}" for i in range(13))
+    words12 = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix words here " + words13 + " and a suffix"),  # shares 13-gram
+            (1, "prefix words here " + words12 + " then different ending entirely now"),
+            (2, "completely unrelated text with plenty of its own words to use here"),
+            (3, "tiny doc"),                                        # < 13 words: never flags
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(words13 + " trailing benchmark context words go here",)], "text string"
+    )
+    out = {r["doc_id"]: r["is_contaminated"]
+           for r in decontaminate.flag_contaminated(docs, bench).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: False}
+
+
+def test_word_ngrams_col_short_doc_empty(spark):
+    from wikisource_latin_text_cleaner_spark.operators import decontaminate
+
+    df = spark.createDataFrame([("only five words right here",)], "text string")
+    got = df.select(
+        decontaminate.word_ngrams_col(F.col("text"), 13).alias("g")
+    ).collect()[0]["g"]
+    assert got == []
