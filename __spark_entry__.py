@@ -1115,7 +1115,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(id, min(reach)) AS BIGINT) AS cluster_id
             FROM walk GROUP BY id
         """,
-        "decontamination": """
+        "decontamination": r"""
             WITH grams AS (
               SELECT doc_id, lang, u.g
               FROM (
