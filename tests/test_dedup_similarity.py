@@ -545,3 +545,9 @@ def test_word_ngrams_col_short_doc_empty(spark):
         decontaminate.word_ngrams_col(F.col("text"), 13).alias("g")
     ).collect()[0]["g"]
     assert got == []
+
+
+def test_ivf_train_rejects_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        similarity.train_ivf_centroids(empty)

@@ -173,6 +173,8 @@ def train_ivf_centroids(
     from every centroid, so exactly ``n_cells`` centroids come back.
     """
     rows = df.select(vec_col).limit(sample_rows).collect()
+    if not rows:
+        raise ValueError("train_ivf_centroids: input has no rows")
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     n = x.shape[0]
