@@ -59,3 +59,39 @@ def test_top_bigram_ratio_spark_matches_python(spark):
     }
     for i, t in enumerate(texts):
         assert abs(got[i] - py(t)) < 1e-7, (i, t, got[i], py(t))
+
+
+def test_url_canonicalize_cross_engine_randomized(spark):
+    """300 seeded randomized URLs (every combination of case, ports,
+    tracking params, fragments, trailing slashes, missing schemes) must
+    canonicalize byte-identically in Spark (Java regex) and DuckDB (RE2)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from wikisource_latin_text_cleaner_spark.functions import urls
+
+    rng = random.Random(424242)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", ""]
+    hosts = ["Example.COM", "sub.Host.org", "h.io", "MIXED.Case.Net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/b/", "/Deep/Path//", "/x.html"]
+    params = ["", "?q=1", "?utm_source=a", "?utm_a=1&utm_b=2", "?fbclid=zz",
+              "?gclid=g&keep=1", "?keep=1&utm_x=2&also=3"]
+    frags = ["", "#f", "#Sec/2?x=1"]
+    cases = []
+    for _ in range(300):
+        s = rng.choice(schemes)
+        u = (f"{s}://" if s else "") + rng.choice(hosts) + rng.choice(ports) \
+            + rng.choice(paths) + rng.choice(params) + rng.choice(frags)
+        cases.append(u)
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", urls.canonicalize_url(F.col("url")).alias("c")).collect()}
+    con = duckdb.connect()
+    pdf = pd.DataFrame({"i": range(len(cases)), "url": cases})
+    expr = urls.canonicalize_url_sql("url")
+    duck = {r[0]: r[1] for r in con.execute(f"SELECT i, {expr} AS c FROM pdf").fetchall()}
+    diffs = [(i, cases[i], got[i], duck[i]) for i in range(len(cases)) if got[i] != duck[i]]
+    assert not diffs, diffs[:5]
