@@ -345,6 +345,46 @@ def test_domain_cap_keeps_k_smallest(spark):
         "dom0": [0, 3], "dom1": [1, 4], "dom2": [2, 5]}
 
 
+def test_domain_cap_salted_matches_unsalted(spark):
+    """Planted mega-domain: the salted two-phase path must (a) return the
+    IDENTICAL survivor set as the single-window path and (b) bound the
+    phase-1 window-partition input to ~|mega|/n_salts rows (VERDICT r2
+    item #4 -- at 10^12 rows one Zipfian mega-domain otherwise pins a
+    single window task)."""
+    from pyspark.sql import functions as F
+
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    mega = 4000
+    rows = [(i, "mega.example") for i in range(mega)]
+    rows += [(10_000 + i, "tail%d.example" % (i % 20)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").cache()
+
+    unsalted = sampling.domain_cap(df, "source", k=5)
+    salted = sampling.domain_cap(
+        df, "source", k=5, heavy_threshold=1000, n_salts=16
+    )
+    a = sorted((r.source, r.doc_id) for r in unsalted.collect())
+    b = sorted((r.source, r.doc_id) for r in salted.collect())
+    assert a == b and len(a) == 5 + 20 * 5
+
+    # phase-1 group sizes: the mega-domain's rows split across n_salts
+    # groups, so no window partition sees more than ~2x mega/n_salts rows
+    groups = (
+        df.where(F.col("source") == "mega.example")
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16)))
+        .groupBy("_salt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(groups) == 16
+    assert max(r["n"] for r in groups) <= 2 * mega / 16
+
+    # threshold not reached -> falls back to the single-window plan
+    fallback = sampling.domain_cap(df, "source", k=5, heavy_threshold=10**9)
+    assert sorted((r.source, r.doc_id) for r in fallback.collect()) == a
+
+
 def test_signature_kernels_bounded_memory_on_huge_doc():
     """A multi-MB outlier document must not blow up executor Python-worker
     memory: the one-shot formulation allocated a (64 x n_shingles) int64
@@ -472,6 +512,73 @@ def test_ivf_topk_sublinear_probe_high_recall(clustered_vecs):
     # most a few of the occupied cells were scanned
     per_cell = 500 / n_cells_used
     assert 64 < 500 - per_cell, "budget must exclude at least one cell"
+
+
+def test_ivf_sample_not_limit_on_clustered_input(spark):
+    """Training must SAMPLE the corpus, not take the first N rows.
+
+    Embedding tables are routinely written clustered (e.g. sorted by a
+    prior cluster id). On such input, first-N-rows training only ever sees
+    the leading cluster(s): every centroid lands inside cluster 0, cell
+    assignment of far clusters is arbitrary, and a bounded probe misses the
+    query's true neighbors. df.sample() sees every cluster and keeps
+    recall. This is VERDICT r2 item #3; the limit() half of the assertion
+    pins the failure mode so a regression back to limit() trips the test.
+    """
+    rng = np.random.RandomState(99)
+    centers = rng.standard_normal((8, 64)) * 4
+    # rows SORTED by cluster: all of cluster 0 first, then cluster 1, ...
+    rows = [
+        (int(c * 200 + i), (centers[c] + rng.standard_normal(64) * 0.3).tolist())
+        for c in range(8)
+        for i in range(200)
+    ]
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .coalesce(1)  # preserve the sorted order for limit()
+        .cache()
+    )
+    q = centers[7].tolist()  # query near the LAST cluster
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(df, q, k=10).collect()]
+
+    # sample_rows=150 < one cluster's 200 rows: the old limit() path would
+    # train entirely inside cluster 0
+    cents = similarity.train_ivf_centroids(df, n_cells=8, sample_rows=150)
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            df, q, k=10, centroids=cents, probe_budget=220
+        ).collect()
+    ]
+    assert len(set(exact) & set(approx)) / 10 >= 0.8, (exact, approx)
+
+    def coverage(c):
+        """min over true clusters of the best centroid cosine: 1.0 means
+        every cluster has a centroid pointing at it; ~0 (random 64-dim
+        directions) means that cluster was never seen in training."""
+        cn = np.stack([v / np.linalg.norm(v) for v in centers])
+        return float((cn @ c.T).max(axis=1).min())
+
+    # sampled training saw every cluster -> every center is well covered
+    assert coverage(cents) >= 0.9, coverage(cents)
+
+    # the failure mode the fix removes: training on the FIRST 150 rows
+    # (exactly what `limit(sample_rows)` collects on this sorted input --
+    # all cluster 0) leaves clusters 1..7 with no nearby centroid, so cell
+    # probing over them is content-blind at scale
+    biased_rows = df.select("embedding").limit(150).collect()
+    biased_df = spark.createDataFrame(
+        [(i, list(r[0])) for i, r in enumerate(biased_rows)],
+        "vec_id long, embedding array<double>",
+    )
+    biased_cents = similarity.train_ivf_centroids(
+        biased_df, n_cells=8, sample_rows=150
+    )
+    assert coverage(biased_cents) < 0.5, (
+        "limit()-trained centroids unexpectedly cover all clusters; "
+        "fixture no longer demonstrates the hazard",
+        coverage(biased_cents),
+    )
 
 
 def test_ivf_centroids_deterministic_and_normalized(clustered_vecs):

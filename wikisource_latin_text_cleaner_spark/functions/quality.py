@@ -69,20 +69,44 @@ def dup_line_char_fraction(col) -> Column:
     rules.extension_reasons strip 0x20 only -- so the definitions cannot
     diverge.
 
-    The nested filter is O(lines^2) per document JVM-side; at ~50 lines/web
-    page that is ~2.5k comparisons inside codegen, far cheaper than a
-    per-doc shuffle. A 10k-line outlier costs 10^8 comparisons in one task
-    -- for corpora with such tails use an explode+groupBy variant instead.
+    Computed as array_sort + a single fold over the sorted lines (same
+    technique as top_bigram_ratio): equal lines become adjacent runs, and
+    the fold adds len(x) per run member -- retro-crediting the run's first
+    member the moment the second appears.  O(L log L) per document, all
+    inside whole-stage codegen, order-independent so the value is identical
+    to the naive definition.  The previous nested-filter formulation was
+    O(lines^2): a 10k-line outlier doc cost ~10^8 comparisons inside one
+    task (VERDICT r2 item #5); the parity test now includes exactly that
+    outlier.
     """
     lines = F.filter(
         F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
-    dup = F.filter(
-        lines, lambda x: F.size(F.filter(lines, lambda y: y == x)) >= 2
-    )
     tot = F.aggregate(lines, F.lit(0.0), lambda a, l: a + F.length(l))
-    dch = F.aggregate(dup, F.lit(0.0), lambda a, l: a + F.length(l))
+    # lines are non-empty post-filter, so "" is a safe run sentinel
+    st0 = F.struct(
+        F.lit("").alias("prev"), F.lit(1).alias("run"), F.lit(0.0).alias("dup")
+    )
+    dch = F.aggregate(
+        F.array_sort(lines),
+        st0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                acc["dup"]
+                + F.when(
+                    x == acc["prev"],
+                    # second occurrence pays for itself AND the first
+                    F.when(acc["run"] == 1, 2.0 * F.length(x)).otherwise(
+                        F.length(x).cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup"),
+        ),
+        lambda acc: acc["dup"],
+    )
     return F.when(F.size(lines) > 0, dch / tot).otherwise(F.lit(0.0))
 
 

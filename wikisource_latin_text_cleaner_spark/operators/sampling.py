@@ -57,32 +57,105 @@ def hash_split(df: DataFrame, key_col: str, fractions: dict) -> DataFrame:
     return df.withColumn("split", split)
 
 
+#: refuse to literal-inline more heavy domains than this (an isin() with
+#: bounded cardinality; above it the caller's threshold is too low)
+_MAX_HEAVY_DOMAINS = 10_000
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str,
     k: int,
     order_col: str = "doc_id",
+    heavy_threshold: int | None = None,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Keep at most ``k`` rows per domain (deterministic: the k smallest
-    ``order_col`` values win) -- the standard domain-balancing step that
-    stops a handful of mega-domains from dominating a training mix.
+    ``order_col`` values win; ``order_col`` must be unique within a domain
+    or the boundary pick is tie-ambiguous) -- the standard domain-balancing
+    step that stops a handful of mega-domains from dominating a training
+    mix.
 
-    Plan: one hash-partition by domain + per-partition sort (window
-    row_number), no global sort. Zipfian domains make this window the
-    skew-prone spot at 10^12 rows: AQE skew-join splitting does not apply
-    to windows, so for the extreme tier pre-filter heavy hitters with
-    `skew.heavy_hitters` and cap them via the salted two-phase trick
-    (per-salt cap k, then exact cap on the k x n_salts survivors) before
-    windowing the long tail.
+    Normal tier (``heavy_threshold=None``): one hash-partition by domain +
+    per-partition sort (window row_number), no global sort.
+
+    Extreme tier: Zipfian domains make that window the skew pinch-point at
+    10^12 rows -- AQE skew-join splitting does not apply to windows, so one
+    mega-domain's rows all land in one window partition.  Pass
+    ``heavy_threshold`` to auto-enable the salted two-phase path for any
+    domain whose row count exceeds it:
+
+    1. a per-domain count (map-side partial agg, broadcast-sized result)
+       finds the heavy set -- bounded by total_rows/heavy_threshold, and
+       capped at 10k entries so the inlined membership test stays sane;
+    2. heavy rows window over (domain, salt) with
+       salt = xxhash64(order_col) % n_salts, keeping k per salt.  Each of
+       the true k smallest is by definition among the k smallest of its
+       own salt bucket, so the <= k*n_salts survivors are a superset of
+       the answer and the max window-partition input drops from
+       |domain| to |domain|/n_salts;
+    3. an exact domain window over those <= k*n_salts survivors (tiny)
+       finishes the cap.
+
+    Survivor sets are IDENTICAL to the unsalted path (same k smallest per
+    domain), so the same oracle covers both -- asserted by
+    tests/test_dedup_similarity.py::test_domain_cap_salted_matches_unsalted.
+    Rows with a NULL domain are treated as one light group (they cannot
+    appear in the heavy list).
     """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(domain_col).orderBy(F.col(order_col).asc())
-    return (
+    single = (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+    if heavy_threshold is None:
+        return single
+    if heavy_threshold <= 0:
+        raise ValueError(f"heavy_threshold must be positive, got {heavy_threshold}")
+    if n_salts < 2:
+        raise ValueError(f"n_salts must be >= 2, got {n_salts}")
+
+    heavy = [
+        r["d"]
+        for r in (
+            df.groupBy(F.col(domain_col).alias("d"))
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > heavy_threshold)
+            .select("d")
+            .limit(_MAX_HEAVY_DOMAINS + 1)
+            .collect()
+        )
+    ]
+    if len(heavy) > _MAX_HEAVY_DOMAINS:
+        raise ValueError(
+            f"domain_cap: >{_MAX_HEAVY_DOMAINS} domains exceed "
+            f"heavy_threshold={heavy_threshold}; raise the threshold"
+        )
+    if not heavy:
+        return single
+
+    is_heavy = F.coalesce(F.col(domain_col).isin(heavy), F.lit(False))
+    light = (
+        df.where(~is_heavy)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w_salt = Window.partitionBy(domain_col, "_salt").orderBy(F.col(order_col).asc())
+    heavy_capped = (
+        df.where(is_heavy)
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts)))
+        .withColumn("_rn", F.row_number().over(w_salt))
+        .where(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    return light.unionByName(heavy_capped)
 
 
 def stratified_sample(

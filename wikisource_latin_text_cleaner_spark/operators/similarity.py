@@ -164,15 +164,43 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = _IVF_RNG_SEED,
 ) -> np.ndarray:
-    """Spherical k-means centroids from a bounded sample.
+    """Spherical k-means centroids from a bounded UNIFORM sample.
 
     The sample is capped at ``sample_rows`` no matter the corpus size, so
-    driver memory is constant (100k x 64 float64 = 51 MB); at 10^12 rows
-    pass a `df.sample(fraction, seed)` slice in. kmeans++ init + Lloyd
-    iterations, all numpy; empty cells are reseeded to the point farthest
-    from every centroid, so exactly ``n_cells`` centroids come back.
+    driver memory is constant (100k x 64 float64 = 51 MB). It is drawn with
+    ``df.sample(fraction, seed)`` -- NOT ``limit()``: embedding tables are
+    routinely written clustered/sorted, and first-N rows of a clustered
+    table train centroids that only see the leading clusters, collapsing
+    recall for queries near every other cluster
+    (tests/test_similarity.py::test_ivf_sample_not_limit_on_clustered_input
+    demonstrates the failure with the old limit() path). kmeans++ init +
+    Lloyd iterations, all numpy; empty cells are reseeded to the point
+    farthest from every centroid, so exactly ``n_cells`` centroids come
+    back.
+
+    Cost note: computing the sampling fraction needs a count, which on
+    parquet/Iceberg resolves from footer/manifest metadata -- not a data
+    scan -- and the sample itself is a single pushed-down-fraction pass.
     """
-    rows = df.select(vec_col).limit(sample_rows).collect()
+    n_total = df.count()
+    if n_total == 0:
+        raise ValueError("train_ivf_centroids: input has no rows")
+    if n_total <= sample_rows:
+        rows = df.select(vec_col).collect()
+    else:
+        # 1.2x oversample so the Bernoulli draw almost surely reaches the
+        # cap.  The trim back down to sample_rows happens DRIVER-SIDE with
+        # a seeded shuffle -- `.limit(sample_rows)` after sample would take
+        # the EARLIEST sampled rows in table order, quietly re-introducing
+        # the clustered-table bias the sample exists to remove.  Driver
+        # memory stays bounded at ~1.2x the cap.
+        fraction = min(1.0, 1.2 * sample_rows / n_total)
+        rows = df.select(vec_col).sample(fraction=fraction, seed=seed).collect()
+        if len(rows) > sample_rows:
+            idx = np.random.RandomState(seed).choice(
+                len(rows), size=sample_rows, replace=False
+            )
+            rows = [rows[i] for i in idx]
     if not rows:
         raise ValueError("train_ivf_centroids: input has no rows")
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
