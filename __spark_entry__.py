@@ -492,27 +492,36 @@ def q_stratified_sample(spark, sf):
 
 def q_domain_cap(spark, sf):
     """Per-domain quota cap (domain balancing): keep the k smallest doc_ids
-    per source, report survivors per source."""
+    per source, report survivors per source. Runs the SALTED two-phase path
+    (heavy_threshold=20 marks every 25-doc source heavy at these SFs) so
+    the driver's hard signal covers the extreme-tier plan; survivor sets
+    are provably identical to the single-window plan the oracle re-derives
+    (see sampling.domain_cap + test_domain_cap_salted_matches_unsalted)."""
     d = _docs(spark, sf)
-    capped = sampling.domain_cap(d, "source", k=50)
+    capped = sampling.domain_cap(
+        d, "source", k=10, heavy_threshold=20, n_salts=4
+    )
     return capped.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
 
 
-# ---- non-SQL-expressible ops (rows-only driver check) ----------------------
-
-
 def q_bpe_token_stats(spark, sf):
-    """Learned-BPE token counts per lang: distributed word counts ->
-    driver-side merge training (broadcast-sized vocab) -> distributed
-    tokenization. Rows-only (iterative training isn't SQL)."""
+    """Learned-BPE token counts per lang, applying the FROZEN merge table
+    (bpe_frozen.MERGES -- trained once by bpe.train_bpe on the sf0.01
+    documents corpus, pinned to a live training run by tests/test_bpe.py).
+    Train-once/apply-everywhere is the production tokenizer shape, and the
+    frozen table makes the apply phase a deterministic recurrence the
+    DuckDB oracle re-derives in SQL (recursive CTE over distinct words:
+    repeatedly merge the lowest-rank leftmost adjacent pair, exactly
+    bpe._encode_word). Training itself stays covered by its own
+    determinism/round-trip tests."""
     from wikisource_latin_text_cleaner_spark.functions import bpe
+    from wikisource_latin_text_cleaner_spark.functions.bpe_frozen import MERGES
 
     d = _docs(spark, sf, spread=True)
-    merges = bpe.train_bpe(d, num_merges=100)
-    _, count_udf = bpe.make_bpe_udfs(merges)
+    _, count_udf = bpe.make_bpe_udfs(MERGES)
     return d.groupBy("lang").agg(
         F.sum(count_udf("text")).alias("total_bpe_tokens"),
         F.count("*").alias("n_docs"),
@@ -585,6 +594,11 @@ def q_media_video_frames(spark, sf):
         F.count("*").alias("n_frames"),
         F.max("frame_ts_ms").alias("last_ts_ms"),
     )
+
+
+# ---- non-SQL-expressible ops (rows-only driver check; covered by the
+# stronger byte-parity goldens vs the live reference, tests/gen_goldens.py) --
+
 
 def q_pipeline_decisions(spark, sf):
     """Full reference-fidelity pipeline decision histogram over documents."""
@@ -774,6 +788,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _bpe_apply_oracle_sql() -> str:
+    """SQL re-derivation of the frozen-merge BPE apply phase (see
+    q_bpe_token_stats). Generated from bpe_frozen.MERGES so the oracle and
+    the Spark UDF share one merge table; the SQL itself contains only the
+    printable merge literals (rank-map keys are built with chr(31) in SQL,
+    keeping the string free of control characters)."""
+    from wikisource_latin_text_cleaner_spark.functions.bpe_frozen import MERGES
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n              ".join(
+        f"({lit(a)}, {lit(b)}, {r})" for r, (a, b) in enumerate(MERGES)
+    )
+    return f"""
+        WITH RECURSIVE
+        merges(a, b, r) AS (
+          SELECT * FROM (VALUES
+              {values}) t(a, b, r)
+        ),
+        rm AS (
+          SELECT MAP(list(a || chr(31) || b ORDER BY r),
+                     list(r ORDER BY r)) AS m
+          FROM merges
+        ),
+        words0 AS (
+          SELECT DISTINCT u.w AS word
+          FROM documents,
+               UNNEST(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]')) AS u(w)
+        ),
+        enc AS (
+          SELECT word, 0 AS step,
+                 list_append(string_split(word, ''), '</w>') AS syms
+          FROM words0
+          UNION ALL
+          SELECT word, step + 1,
+                 list_concat(list_concat(syms[1:i-1],
+                                         [syms[i] || syms[i+1]]),
+                             syms[i+2:])
+          FROM (
+            SELECT word, step, syms, CAST(best % 1000000 AS INT) AS i
+            FROM (
+              SELECT e.word, e.step, e.syms,
+                     list_min(list_filter(
+                       list_transform(range(1, len(e.syms)),
+                         j -> (rm.m[e.syms[CAST(j AS INT)] || chr(31) ||
+                                    e.syms[CAST(j AS INT) + 1]][1])
+                              * 1000000 + j),
+                       x -> x IS NOT NULL)) AS best
+              FROM enc e, rm
+            ) WHERE best IS NOT NULL
+          )
+        ),
+        perword AS (
+          SELECT word, len(syms) AS ntok
+          FROM enc
+          QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
+        ),
+        docw AS (
+          SELECT d.lang, u.w AS word
+          FROM documents d,
+               UNNEST(regexp_extract_all(lower(d.text), '\\w+|[^\\w\\s]')) AS u(w)
+        ),
+        totals AS (
+          SELECT lang, CAST(sum(p.ntok) AS BIGINT) AS total
+          FROM docw JOIN perword p USING (word)
+          GROUP BY lang
+        )
+        SELECT d.lang,
+               coalesce(t.total, 0) AS total_bpe_tokens,
+               d.n_docs
+        FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang) d
+        LEFT JOIN totals t USING (lang)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # the media oracles scan the persisted synthetic media parquet; make
     # sure it exists even when oracle SQL runs before/without the queries
@@ -851,6 +941,14 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
         """,
+        # Learned-BPE apply phase re-derived in SQL (the langid/perplexity
+        # embedded-model pattern): the frozen merge table rides in as a
+        # VALUES relation, and a recursive CTE replays bpe._encode_word per
+        # DISTINCT word -- each step merges the leftmost occurrence of the
+        # lowest-rank adjacent pair ((rank, position) packed into one BIGINT
+        # so list_min picks exactly Python's min((rank, i))). chr(31) keys
+        # the rank map so concatenated symbols can't alias.
+        "bpe_token_stats": _bpe_apply_oracle_sql(),
         "fingerprints": """
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
@@ -1189,13 +1287,16 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY 1
         """,
         "domain_cap": """
+            -- single-window formulation: the Spark side runs the salted
+            -- two-phase plan, which must select the IDENTICAL k-smallest
+            -- survivors -- a banding/salting bug shows as a value mismatch
             SELECT source, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM (
               SELECT source, n_chars,
                      row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
               FROM documents
-            ) WHERE rn <= 50
+            ) WHERE rn <= 10
             GROUP BY source
         """,
         "knn_lsh": f"""

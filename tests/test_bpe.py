@@ -45,3 +45,14 @@ def test_unknown_chars_fall_back_to_chars(spark):
     df = spark.createDataFrame([(1, "zzyzx")], "doc_id long, text string")
     toks = df.select(tokenize_udf("text").alias("t")).collect()[0].t
     assert "".join(toks).replace(bpe.EOW, "") == "zzyzx"
+
+
+def test_frozen_merges_match_live_training_on_sf001(spark):
+    """bpe_frozen.MERGES is the oracle-side merge table for the driver's
+    bpe_token_stats query; it must be exactly what train_bpe produces on
+    the sf0.01 documents corpus (num_merges=100, defaults otherwise), or
+    the 'trained once, applied everywhere' claim silently drifts."""
+    from wikisource_latin_text_cleaner_spark.functions.bpe_frozen import MERGES
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert bpe.train_bpe(df, num_merges=100) == MERGES

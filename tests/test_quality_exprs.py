@@ -118,3 +118,22 @@ def test_url_canonicalize_cross_engine_randomized(spark):
     duck = {r[0]: r[1] for r in con.execute(f"SELECT i, {expr} AS c FROM pdf").fetchall()}
     diffs = [(i, cases[i], got[i], duck[i]) for i in range(len(cases)) if got[i] != duck[i]]
     assert not diffs, diffs[:5]
+
+
+def test_toxicity_lexicon_real_words_whole_word_only():
+    """The production lexicon must flag real toxic English, never benign
+    words that merely contain a lexicon entry as a substring ([a-z]+
+    whole-word tokenization), and every entry must stay inside the [a-z]+
+    class the cross-engine oracle depends on."""
+    import re
+
+    from wikisource_latin_text_cleaner_spark.functions import pii
+
+    assert len(pii.TOXICITY_LEXICON) >= 100  # a real list, not the demo 5
+    assert all(re.fullmatch(r"[a-z]+", w) for w in pii.TOXICITY_LEXICON)
+    assert pii.toxicity_score("what utter bullshit, you asshole") > 0
+    # substring traps: class/assumption/mass contain 'ass'; scunthorpe etc.
+    assert pii.toxicity_score(
+        "the class assumption passes mass analysis in scunthorpe"
+    ) == 0.0
+    assert pii.toxicity_score("") == 0.0

@@ -33,11 +33,41 @@ BATTERY = (
     ("digits", LONG_DIGITS, "<NUMBER>"),
 )
 
-#: Minimal demo lexicon -- a stand-in for a real toxicity word list; the
-#: mechanism (broadcast lexicon + count threshold) is what matters at scale.
-TOXICITY_LEXICON = frozenset(
-    ("stultissimus", "execrabilis", "obscenus", "damnatus", "maledictus")
-)
+#: English profanity/slur/sexual-content word list in the style of the
+#: public "bad words" lists the C4 pipeline filters with (single-token
+#: [a-z]+ entries only, so the ASCII word class below matches them whole-
+#: word -- "class" never trips "ass").  Plus the handful of Latin terms the
+#: synthetic corpus plants, so the operator's oracle exercises nonzero
+#: hits.  Swap or extend per deployment: the scorer reads this set from
+#: its closure (the broadcast analog), so a caller-supplied lexicon needs
+#: no code change beyond rebuilding the UDF.
+TOXICITY_LEXICON = frozenset((
+    # -- Latin planted terms (synthetic-corpus coverage) --
+    "stultissimus", "execrabilis", "obscenus", "damnatus", "maledictus",
+    # -- English profanity & vulgarity --
+    "arse", "arsehole", "ass", "asses", "asshole", "assholes", "bastard",
+    "bastards", "bitch", "bitches", "bollocks", "bullshit", "cock",
+    "cocks", "crap", "cunt", "cunts", "damn", "dick", "dicks", "dickhead",
+    "douche", "douchebag", "dumbass", "fuck", "fucked", "fucker",
+    "fuckers", "fucking", "fucks", "goddamn", "jackass", "motherfucker",
+    "motherfuckers", "motherfucking", "piss", "pissed", "prick", "pricks",
+    "pussies", "pussy", "shit", "shits", "shitty", "slut", "sluts",
+    "twat", "twats", "wanker", "wankers", "whore", "whores",
+    # -- sexual / adult-content --
+    "anal", "blowjob", "blowjobs", "boobs", "clit", "clitoris", "cum",
+    "cumshot", "deepthroat", "dildo", "dildos", "ejaculate", "ejaculation",
+    "erotic", "fellatio", "gangbang", "handjob", "hentai", "horny",
+    "jerkoff", "masturbate", "masturbation", "milf", "nipples", "orgasm",
+    "orgasms", "orgy", "penis", "porn", "porno", "pornography", "rimjob",
+    "semen", "sex", "sexy", "smut", "strapon", "threesome", "tits",
+    "titties", "vagina", "viagra", "vibrator", "xxx",
+    # -- slurs & hateful terms --
+    "chink", "chinks", "coon", "coons", "dyke", "dykes", "fag", "faggot",
+    "faggots", "fags", "gook", "gooks", "kike", "kikes", "nigga",
+    "niggas", "nigger", "niggers", "raghead", "retard", "retarded",
+    "retards", "spic", "spics", "tranny", "trannies", "wetback",
+    "wetbacks",
+))
 #: ASCII-alpha word class (not \\w): the lexicon itself is ASCII, so the
 #: word universe only needs ASCII runs -- and [a-z]+ means Python re and
 #: RE2-dialect engines (Spark, DuckDB) tokenize identically, keeping the
