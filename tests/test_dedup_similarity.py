@@ -385,6 +385,22 @@ def test_domain_cap_salted_matches_unsalted(spark):
     assert sorted((r.source, r.doc_id) for r in fallback.collect()) == a
 
 
+def test_domain_cap_null_domains_survive_both_paths(spark):
+    """NULL domains form one window group; they can never enter the heavy
+    list (isin can't match NULL) so the salted path must still cap them
+    correctly via the light branch -- and identically to the unsalted plan."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    rows = [(i, None if i % 3 == 0 else "dom%d" % (i % 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    key = lambda r: (r.source or "", r.doc_id)  # noqa: E731
+    a = sorted(map(key, sampling.domain_cap(df, "source", k=3).collect()))
+    b = sorted(map(key, sampling.domain_cap(
+        df, "source", k=3, heavy_threshold=5, n_salts=4).collect()))
+    assert a == b
+    assert [x for x in a if x[0] == ""] == [("", 0), ("", 3), ("", 6)]
+
+
 def test_signature_kernels_bounded_memory_on_huge_doc():
     """A multi-MB outlier document must not blow up executor Python-worker
     memory: the one-shot formulation allocated a (64 x n_shingles) int64
