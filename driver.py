@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated langid allowlist (web mode)")
     p.add_argument("--perplexity-threshold", type=float, default=None,
                    help="drop docs above this char-bigram perplexity")
+    p.add_argument("--max-toxicity", type=float, default=None,
+                   help="drop docs whose toxicity-lexicon word fraction "
+                        "exceeds this (0.0 = C4-style any-badword drop; "
+                        "omit = gate off)")
     p.add_argument("--salt-partitions", type=int, default=0,
                    help="salted-repartition width for domain skew (0 = off)")
     p.add_argument("--buckets", type=int, default=64,
@@ -105,7 +109,10 @@ def main(argv: list[str] | None = None) -> int:
     web = args.mode == "web"
     cfg = PipelineConfig(
         min_size_bytes=args.min_size,
-        extensions=rules.ExtensionConfig() if web else None,
+        extensions=(
+            rules.ExtensionConfig(max_toxicity=args.max_toxicity)
+            if web else None
+        ),
         classify=not args.no_classify,
         langid=web,
         allowed_langs=tuple(args.allowed_langs.split(",")),

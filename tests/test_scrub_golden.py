@@ -143,3 +143,21 @@ def test_dup_line_cap_rule_off_by_default():
     assert "dup_lines" not in rules.extension_reasons(doc, rules.ExtensionConfig())
     cfg = rules.ExtensionConfig(max_dup_line_frac=0.3)
     assert "dup_lines" in rules.extension_reasons(doc, cfg)
+
+
+def test_toxicity_gate_off_by_default_and_c4_mode():
+    """max_toxicity=None keeps decisions byte-stable; 0.0 reproduces C4's
+    any-badword-drops-the-page rule over the lexicon (whole-word [a-z]+)."""
+    base = (
+        "gallia est omnis divisa in partes tres quarum unam incolunt belgae "
+        "aquitani tertiam qui ipsorum lingua celtae nostra galli appellantur "
+        "et hi omnes lingua institutis legibus inter se differunt multum "
+    ) * 3
+    toxic = base + " what total bullshit"
+    assert "toxicity" not in rules.extension_reasons(toxic, rules.ExtensionConfig())
+    cfg = rules.ExtensionConfig(max_toxicity=0.0)
+    assert "toxicity" in rules.extension_reasons(toxic, cfg)
+    assert "toxicity" not in rules.extension_reasons(base, cfg)
+    # substring never trips the whole-word gate
+    benign = base + " the class assumption passes mass analysis"
+    assert "toxicity" not in rules.extension_reasons(benign, cfg)

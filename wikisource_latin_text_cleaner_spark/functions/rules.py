@@ -119,6 +119,12 @@ class ExtensionConfig:
     #: Space-trim-only line normalization, matching
     #: quality.dup_line_char_fraction exactly.
     max_dup_line_frac: float | None = None
+    #: C4-style toxicity gate: drop when the lexicon-word fraction
+    #: (pii.toxicity_score, [a-z]+ whole-word matching against
+    #: pii.TOXICITY_LEXICON) exceeds this.  0.0 reproduces C4's
+    #: any-badword-drops-the-page rule; None (default) keeps the gate off
+    #: so existing keep/drop decisions stay byte-stable.
+    max_toxicity: float | None = None
     allowed_langs: tuple = ("la",)
     langid_gate: bool = False  # off unless a langid model is supplied
 
@@ -149,6 +155,11 @@ def extension_reasons(clean_text: str, cfg: ExtensionConfig) -> list[str]:
     if cfg.max_dup_line_frac is not None:
         if dup_line_char_fraction(clean_text) > cfg.max_dup_line_frac:
             reasons.append("dup_lines")
+    if cfg.max_toxicity is not None:
+        from . import pii as _pii
+
+        if _pii.toxicity_score(clean_text) > cfg.max_toxicity:
+            reasons.append("toxicity")
     return reasons
 
 
