@@ -137,3 +137,34 @@ def test_toxicity_lexicon_real_words_whole_word_only():
         "the class assumption passes mass analysis in scunthorpe"
     ) == 0.0
     assert pii.toxicity_score("") == 0.0
+
+
+def test_dup_line_char_fraction_randomized_vs_python(spark):
+    """300 seeded random docs drawn from a tiny line alphabet (so duplicate
+    lines are common) plus whitespace-padding traps must match the Python
+    twin exactly -- locks the sort+fold formulation to the naive definition
+    across ties, runs, singletons, and pad/trim edge cases."""
+    import random
+
+    rng = random.Random(31415)
+    line_pool = [
+        "alpha beta gamma", "alpha beta gamma ", "  alpha beta gamma",
+        "\talpha beta gamma", "nav", "x", "", "   ",
+        "footer line with more characters in it",
+    ]
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        texts.append("\n".join(rng.choice(line_pool) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["frac"]
+        for r in df.select(
+            "i",
+            F.round(quality.dup_line_char_fraction(F.col("text")), 10).alias("frac"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i] - rules.dup_line_char_fraction(t)) < 1e-9, (i, repr(t))
