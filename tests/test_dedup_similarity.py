@@ -85,6 +85,33 @@ def _planted_corpus(n_base=300, seed=99):
     return rows
 
 
+def test_simhash_persist_hashes_each_doc_once(spark, tmp_path):
+    """With persist_signatures (default) the band self-join reads the
+    signature cache, not the text scan, on both sides: exactly one FileScan
+    in the plan. Without it the aliased join branches defeat exchange reuse
+    and the corpus is scanned+hashed twice -- the 2x cost this flag removes
+    at scale. Results must be identical either way."""
+    base = "verba multa hic posita sunt et alia verba sequuntur statim "
+    rows = [(i, base + ("finis %d" % (i % 3))) for i in range(50)]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    d = spark.read.parquet(path)
+    # compile the unpersisted plan FIRST: once persist() registers the
+    # signature frame, the session cache manager substitutes it into any
+    # later logically-matching plan, persisted flag or not
+    out_n = dedup.simhash_near_duplicates(d, persist_signatures=False)
+    plan_n = out_n._jdf.queryExecution().executedPlan().toString()
+    out_p = dedup.simhash_near_duplicates(d, persist_signatures=True)
+    plan_p = out_p._jdf.queryExecution().executedPlan().toString()
+    # both join sides must read the signature cache (the cached relation
+    # prints its child FileScan inline, so count cache scans, not scans)
+    assert plan_p.count("InMemoryTableScan") >= 2, plan_p
+    assert "InMemoryTableScan" not in plan_n and plan_n.count("FileScan") == 2
+    rows_p = sorted((r.id_a, r.id_b, r.hamming) for r in out_p.collect())
+    rows_n = sorted((r.id_a, r.id_b, r.hamming) for r in out_n.collect())
+    assert rows_p == rows_n
+
+
 @pytest.mark.parametrize("blocks", [4, 6])
 def test_simhash_block_banding_is_exhaustive(spark, blocks):
     """Manku block-combination banding must return EXACTLY the all-pairs

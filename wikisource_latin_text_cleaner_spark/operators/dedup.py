@@ -477,6 +477,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash block-combination banding (Manku et
     al., WWW'07): split the signature into ``blocks`` blocks and key
@@ -485,6 +486,15 @@ def simhash_near_duplicates(
     at least one combination matches -- candidate generation is EXHAUSTIVE
     by pigeonhole at every setting. Verification is exact
     (bit_count(xor) <= max_hamming, JVM-side).
+
+    ``persist_signatures`` caches the (id, sim) frame so the signature UDF
+    hashes each document ONCE: the band self-join otherwise re-plans both
+    sides from the text scan (aliased branches defeat exchange reuse --
+    observed 2 FileScans + doubled ArrowEvalPython without the persist).
+    Same opt-out semantics as minhash_near_duplicates: the persisted frame
+    is two scalar columns per doc (16 B/row, ~16 TB at 10^12 docs,
+    MEMORY_AND_DISK spills cleanly); pass False for strictly
+    streaming-through plans that accept hashing twice.
 
     ``blocks`` is the scale dial (SCALE.md "SimHash banding at 10^12"):
       - blocks=4 (default): 4 single-block keys of 16 bits -- 65k buckets,
@@ -498,6 +508,10 @@ def simhash_near_duplicates(
     from itertools import combinations
 
     sigs = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sim"))
+    if persist_signatures:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     block_exprs = _simhash_block_exprs(F.col("sim"), blocks)
     keys = [
         # combination index seeds the hash so equal block VALUES in
