@@ -112,6 +112,53 @@ def test_simhash_persist_hashes_each_doc_once(spark, tmp_path):
     assert rows_p == rows_n
 
 
+def test_ngram_jaccard_persist_hashes_and_grams_once(spark, tmp_path):
+    """The n-gram path needs the word-minhash signature on both band-join
+    sides AND the gram array on both verify-join sides; without the persists
+    that is 2 UDF passes + 4 full text scans. With them (default) all four
+    branches read a cache. Results identical either way."""
+    base = "verba multa hic posita sunt et alia verba sequuntur statim "
+    rows = [(i, base + ("finis %d" % (i % 3))) for i in range(50)]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    d = spark.read.parquet(path)
+    # unpersisted plan compiled FIRST (cache-manager substitution, see
+    # test_simhash_persist_hashes_each_doc_once)
+    out_n = dedup.ngram_jaccard_near_duplicates(d, persist=False)
+    plan_n = out_n._jdf.queryExecution().executedPlan().toString()
+    out_p = dedup.ngram_jaccard_near_duplicates(d, persist=True)
+    plan_p = out_p._jdf.queryExecution().executedPlan().toString()
+    assert plan_p.count("InMemoryTableScan") >= 4, plan_p
+    assert "InMemoryTableScan" not in plan_n and plan_n.count("FileScan") == 4
+    rows_p = sorted((r.id_a, r.id_b, r.jaccard) for r in out_p.collect())
+    rows_n = sorted((r.id_a, r.id_b, r.jaccard) for r in out_n.collect())
+    assert rows_p == rows_n
+
+
+def test_embedding_near_dup_persist_projects_each_vector_once(spark, tmp_path):
+    """Hyperplane bucket UDF must run once per embedding, not once per
+    aliased self-join side: persisted plan reads the cache on both sides."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(64) if i % 4 else base + rng.standard_normal(64) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(path)
+    d = spark.read.parquet(path)
+    out_n = dedup.embedding_near_duplicates(d, persist_signatures=False)
+    plan_n = out_n._jdf.queryExecution().executedPlan().toString()
+    out_p = dedup.embedding_near_duplicates(d, persist_signatures=True)
+    plan_p = out_p._jdf.queryExecution().executedPlan().toString()
+    assert plan_p.count("InMemoryTableScan") >= 2, plan_p
+    assert "InMemoryTableScan" not in plan_n and plan_n.count("FileScan") == 2
+    rows_p = sorted((r.id_a, r.id_b, r.cosine) for r in out_p.collect())
+    rows_n = sorted((r.id_a, r.id_b, r.cosine) for r in out_n.collect())
+    assert rows_p == rows_n
+    assert rows_p, "planted near-dup clique must produce pairs"
+
+
 @pytest.mark.parametrize("blocks", [4, 6])
 def test_simhash_block_banding_is_exhaustive(spark, blocks):
     """Manku block-combination banding must return EXACTLY the all-pairs

@@ -307,6 +307,7 @@ def minhash_band_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     signature_udf=None,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) whose MinHash signatures agree
     on at least one LSH band -- the scale-correct candidate generator for
@@ -323,9 +324,18 @@ def minhash_band_candidates(
     similarity and floods the verifier with false candidates (measured
     861k -> ~1k candidate pairs on the sf0.1 corpus for the same 256-pair
     verified output).
+
+    ``persist_signatures`` caches the signature frame so the aliased
+    self-join branches (which defeat exchange reuse) read the cache instead
+    of scanning + re-hashing the corpus twice -- same rationale and opt-out
+    semantics as minhash_near_duplicates.
     """
     sig_udf = signature_udf if signature_udf is not None else minhash_udf
     sigs = df.select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
+    if persist_signatures:
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     bands_df = sigs.select(
         "id",
         F.explode(
@@ -353,6 +363,7 @@ def ngram_jaccard_near_duplicates(
     threshold: float = 0.8,
     bands: int = 16,
     rows_per_band: int = 4,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact word n-gram Jaccard near-dup pairs: MinHash-band candidate
     generation -> JVM-side exact verification (ngram_jaccard_pairs).
@@ -375,9 +386,11 @@ def ngram_jaccard_near_duplicates(
             return texts.map(lambda t: _word_minhash_signature(t or "", n).tolist())
 
     candidates = minhash_band_candidates(
-        df, text_col, id_col, bands, rows_per_band, signature_udf=sig_udf
+        df, text_col, id_col, bands, rows_per_band, signature_udf=sig_udf,
+        persist_signatures=persist,
     )
-    return ngram_jaccard_pairs(df, candidates, text_col, id_col, n, threshold)
+    return ngram_jaccard_pairs(df, candidates, text_col, id_col, n, threshold,
+                               persist_grams=persist)
 
 
 def minhash_near_duplicates(
@@ -544,11 +557,17 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Exact word n-gram Jaccard for candidate (id_a, id_b) pairs.
 
     JVM-side: tokenize once per doc, build distinct n-gram arrays, then
     array_intersect/array_union on the joined pairs.
+
+    ``persist_grams`` caches the per-doc gram arrays: the pair join needs
+    them on BOTH sides (a and b), and without the cache each side is a
+    separate full text scan + gram rebuild. Same opt-out semantics as the
+    signature persists.
     """
     grams = df.select(
         F.col(id_col).alias("id"),
@@ -564,6 +583,10 @@ def ngram_jaccard_pairs(
             )
         ).alias("grams"),
     )
+    if persist_grams:
+        from pyspark.storagelevel import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
@@ -649,10 +672,16 @@ def embedding_near_duplicates(
     planes: int = 12,
     dim: int = 64,
     bands: int = 4,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by cosine >= threshold: ``bands`` independent
     random-hyperplane signatures of ``planes`` bits each; any band equality
     makes a candidate; exact JVM-side cosine verifies.
+
+    ``persist_signatures`` caches the (id, vector, bucket) frame so the
+    hyperplane UDF projects each embedding once instead of once per aliased
+    self-join side (the aliasing defeats exchange reuse, doubling the scan
+    and the matmul). Same opt-out semantics as the text-dedup persists.
 
     Recall math (SCALE.md): a pair at cosine c disagrees on one hyperplane
     with p = arccos(c)/pi (~0.102 at c=0.95), so one ``planes``-bit band
@@ -678,6 +707,10 @@ def embedding_near_duplicates(
 
     sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      F.explode(buckets_udf(vec_col)).alias("bucket"))
+    if persist_signatures:
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     a = sigs.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = sigs.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0),
