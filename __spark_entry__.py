@@ -729,6 +729,46 @@ def q_classify_periods(spark, sf):
     return out.groupBy("period", "genre").agg(F.count("*").alias("n_docs"))
 
 
+def _synth_multiline_docs(d: DataFrame) -> DataFrame:
+    """The natural sf* documents are single-line with zero cross-document
+    duplicate lines, so (like url_canonical_dedup's synthesized URLs) the
+    corpus-line-dedup query plants its own boilerplate deterministically in
+    BOTH engines: 5 lines per doc -- two text-derived unique-ish lines, a
+    footer on every doc, a newsletter line on even ids, and a blank line on
+    ids % 5 == 0 (structural: must survive)."""
+    line1 = F.substring("text", 1, 40)
+    line2 = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Subscribe to our newsletter!"))
+        .otherwise(F.substring("text", 41, 40))
+    )
+    line4 = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .otherwise(F.substring("text", 81, 40))
+    )
+    synth = F.concat_ws(
+        "\n", line1, line2, F.lit("All rights reserved."), line4,
+        F.substring("text", 121, 40),
+    )
+    return d.select("doc_id", synth.alias("text"))
+
+
+def q_corpus_line_dedup(spark, sf):
+    """Corpus-WIDE duplicate-line removal (C4 sec 2.2 / CCNet sec 3.1):
+    every non-blank line occurring >= 3 times across the corpus is dropped
+    from every document; blanks survive as structure. Pure Catalyst --
+    md5-key counting with map-side partial agg, broadcast heavy set, and
+    only affected docs rebuilt (operators/dedup.py:corpus_line_dedup).
+    The oracle re-derives the full rule in SQL over the same synthesized
+    lines and compares the rebuilt text per doc by md5."""
+    docs = _synth_multiline_docs(_docs(spark, sf))
+    out = dedup.corpus_line_dedup(docs, min_count=3)
+    return out.select(
+        "doc_id",
+        F.length("text").alias("cleaned_len"),
+        F.md5(F.encode("text", "utf-8")).alias("cleaned_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size_stats": q_size_stats,
@@ -785,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "classify_periods": q_classify_periods,
+        "corpus_line_dedup": q_corpus_line_dedup,
     }
 
 
@@ -1237,6 +1278,45 @@ def oracle_sql() -> dict[str, str]:
                      AS n_contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             GROUP BY d.lang
+        """,
+        "corpus_line_dedup": r"""
+            -- full SQL re-derivation of the corpus-wide duplicate-line
+            -- rule over the same 5-line synthesized docs as the Spark side
+            WITH synth AS (
+              SELECT doc_id,
+                     [ substring(text, 1, 40),
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'Subscribe to our newsletter!'
+                            ELSE substring(text, 41, 40) END,
+                       'All rights reserved.',
+                       CASE WHEN doc_id % 5 = 0 THEN ''
+                            ELSE substring(text, 81, 40) END,
+                       substring(text, 121, 40) ] AS ls
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, t.i AS pos, ls[t.i] AS line
+              FROM synth, unnest(range(1, 6)) AS t(i)
+            ),
+            heavy AS (
+              SELECT line FROM lines WHERE trim(line) <> ''
+              GROUP BY line HAVING count(*) >= 3
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos,
+                     CASE WHEN trim(l.line) <> '' AND h.line IS NOT NULL
+                          THEN NULL ELSE l.line END AS keepline
+              FROM lines l LEFT JOIN heavy h ON l.line = h.line
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     coalesce(string_agg(keepline, chr(10) ORDER BY pos), '')
+                       AS text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT doc_id, length(text) AS cleaned_len,
+                   md5(text) AS cleaned_md5
+            FROM rebuilt
         """,
         "url_canonical_dedup": r"""
             WITH raw_urls AS (

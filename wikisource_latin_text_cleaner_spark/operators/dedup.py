@@ -725,3 +725,104 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# -- corpus-level duplicate-line removal (CCNet/C4-style) ---------------------
+
+def corpus_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    keep_first: bool = False,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Corpus-WIDE duplicate-line removal: any non-blank line occurring at
+    least ``min_count`` times across the whole corpus is removed from every
+    document (``keep_first=False``, the CCNet paragraph-dedup rule) or from
+    every document except its globally-first occurrence by ``(id, pos)``
+    (``keep_first=True``, the C4 "all but one" rule).  Blank /
+    whitespace-only lines are structural and never counted or removed.
+    Returns ``df`` with ``text_col`` rewritten; all other columns intact.
+
+    No reference precedent (the reference cleans one document at a time,
+    functions/scrub.py covers those per-document line drops); this is the
+    corpus-level boilerplate gate every published web pipeline applies
+    (C4 Raffel et al. 2020 sec 2.2; CCNet Wenzek et al. 2020 sec 3.1).
+
+    Scale shape -- pure Catalyst, zero Python:
+      * counting shuffles 16-byte md5 line keys, never line text, and
+        map-side partial aggregation collapses per-partition repeats first;
+      * the heavy set (lines repeated >= min_count) is boilerplate --
+        footers, nav bars, cookie banners -- tiny relative to the corpus,
+        so it broadcasts and the membership probes are broadcast joins;
+      * only AFFECTED documents (>=1 heavy line, found by a broadcast
+        semi-join) are exploded and rebuilt; the untouched majority of the
+        corpus passes through with no shuffle at all;
+      * keep_first resolves the surviving occurrence with
+        groupBy(line).agg(min(struct(id,pos))) -- partial-aggregatable --
+        instead of a row_number window, whose per-key sort would hotspot
+        exactly on the heavy hitters this operator targets.
+    If the heavy set ever outgrows broadcast range the joins degrade
+    gracefully to shuffled joins on the uniform md5 keys.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5(F.encode("_line", "utf-8")))
+    nonblank = lines.where(F.trim(F.col("_line")) != "")
+
+    heavy = (
+        nonblank.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_cnt"),
+             F.min(F.struct("_id", "_pos")).alias("_first"))
+        .where(F.col("_cnt") >= min_count)
+        .select("_h", "_first")
+    )
+
+    affected_ids = (
+        nonblank.join(F.broadcast(heavy.select("_h")), "_h", "left_semi")
+        .select("_id").distinct()
+    )
+    untouched = df.join(
+        affected_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
+    )
+    affected = df.join(
+        affected_ids.withColumnRenamed("_id", id_col), id_col, "left_semi"
+    )
+
+    aff_lines = affected.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5(F.encode("_line", "utf-8")))
+    marked = aff_lines.join(F.broadcast(heavy), "_h", "left")
+    is_heavy = F.col("_first").isNotNull() & (F.trim(F.col("_line")) != "")
+    if keep_first:
+        drop = is_heavy & ~(
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first._pos") == F.col("_pos"))
+        )
+    else:
+        drop = is_heavy
+
+    packed = F.array_sort(
+        F.collect_list(F.struct(
+            F.col("_pos").alias("p"),
+            F.col("_line").alias("l"),
+            drop.alias("d"),
+        ))
+    )
+    rebuilt = (
+        marked.groupBy("_id")
+        .agg(F.concat_ws(
+            delimiter,
+            F.transform(F.filter(packed, lambda s: ~s["d"]), lambda s: s["l"]),
+        ).alias("_new_text"))
+    )
+    fixed = (
+        affected.join(rebuilt.withColumnRenamed("_id", id_col), id_col)
+        .withColumn(text_col, F.col("_new_text"))
+        .drop("_new_text")
+        .select(*df.columns)
+    )
+    return untouched.select(*df.columns).unionByName(fixed)
