@@ -769,6 +769,48 @@ def q_corpus_line_dedup(spark, sf):
     )
 
 
+def q_corpus_line_keep_first(spark, sf):
+    """C4's exact "all but one" variant: a corpus-wide duplicate line
+    survives only at its globally-first (doc_id, pos) occurrence. Same
+    synthesized lines as corpus_line_dedup; the keeper is resolved with a
+    partial-aggregatable min(struct(id,pos)) instead of a row_number
+    window (whose per-key sort would hotspot on the heavy hitters)."""
+    docs = _synth_multiline_docs(_docs(spark, sf))
+    out = dedup.corpus_line_dedup(docs, min_count=3, keep_first=True)
+    return out.select(
+        "doc_id",
+        F.length("text").alias("cleaned_len"),
+        F.md5(F.encode("text", "utf-8")).alias("cleaned_md5"),
+    )
+
+
+def q_url_blocklist(spark, sf):
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
+    blocklist (broadcast join on the registrable domain, lowercased) plus
+    soft keyword scoring of the URL string. URLs are synthesized
+    deterministically in both engines -- mixed-case hosts exercise the
+    lowercasing, doc_id % 11 plants a 'casino' path segment, and two
+    sources' domains sit on the blocklist (functions/urls.py:
+    flag_blocked_urls)."""
+    d = _docs(spark, sf)
+    raw = F.concat(
+        F.lit("https://Example-"), F.col("source"), F.lit(".com/item/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/casino-live"))
+         .otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", "source", raw.alias("url"))
+    bl = spark.createDataFrame(
+        [("example-src3.com",), ("example-src7.com",)], "domain string"
+    )
+    flagged = urlsx.flag_blocked_urls(pages, bl)
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.col("url_blocked").cast("long")).alias("n_blocked"),
+        F.sum((F.col("url_kw_hits") > 0).cast("long")).alias("n_kw_hits"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size_stats": q_size_stats,
@@ -826,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "classify_periods": q_classify_periods,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_line_keep_first": q_corpus_line_keep_first,
+        "url_blocklist": q_url_blocklist,
     }
 
 
@@ -1317,6 +1361,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS cleaned_len,
                    md5(text) AS cleaned_md5
             FROM rebuilt
+        """,
+        "corpus_line_keep_first": r"""
+            -- C4 "all but one": the (doc_id, pos)-minimal occurrence of
+            -- each heavy line is kept, every other occurrence dropped
+            WITH synth AS (
+              SELECT doc_id,
+                     [ substring(text, 1, 40),
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'Subscribe to our newsletter!'
+                            ELSE substring(text, 41, 40) END,
+                       'All rights reserved.',
+                       CASE WHEN doc_id % 5 = 0 THEN ''
+                            ELSE substring(text, 81, 40) END,
+                       substring(text, 121, 40) ] AS ls
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, t.i AS pos, ls[t.i] AS line
+              FROM synth, unnest(range(1, 6)) AS t(i)
+            ),
+            heavy AS (
+              SELECT line,
+                     min(struct_pack(d := doc_id, p := pos)) AS first_occ
+              FROM lines WHERE trim(line) <> ''
+              GROUP BY line HAVING count(*) >= 3
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos,
+                     CASE WHEN trim(l.line) <> '' AND h.line IS NOT NULL
+                               AND NOT (h.first_occ.d = l.doc_id
+                                        AND h.first_occ.p = l.pos)
+                          THEN NULL ELSE l.line END AS keepline
+              FROM lines l LEFT JOIN heavy h ON l.line = h.line
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     coalesce(string_agg(keepline, chr(10) ORDER BY pos), '')
+                       AS text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT doc_id, length(text) AS cleaned_len,
+                   md5(text) AS cleaned_md5
+            FROM rebuilt
+        """,
+        "url_blocklist": r"""
+            WITH pages AS (
+              SELECT doc_id, source,
+                     'https://Example-' || source || '.com/item/'
+                     || CAST(doc_id AS VARCHAR)
+                     || (CASE WHEN doc_id % 11 = 0 THEN '/casino-live'
+                         ELSE '' END) AS url
+              FROM documents
+            ),
+            f AS (
+              SELECT source,
+                     regexp_extract(
+                       regexp_replace(
+                         lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)', 1)),
+                         ':\d+$', ''),
+                       '([^.]+\.[^.]+)$', 1) AS dom,
+                     (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(url), 'porn') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(url), 'xxx') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(url), 'viagra') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(url), 'escort') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(lower(url), 'gambling') THEN 1 ELSE 0 END
+                     ) AS kw
+              FROM pages
+            )
+            SELECT source, count(*) AS n_urls,
+                   CAST(sum(CASE WHEN dom IN ('example-src3.com',
+                                              'example-src7.com')
+                                 OR kw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_blocked,
+                   CAST(sum(CASE WHEN kw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kw_hits
+            FROM f GROUP BY source
         """,
         "url_canonical_dedup": r"""
             WITH raw_urls AS (

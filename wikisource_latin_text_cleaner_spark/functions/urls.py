@@ -56,3 +56,75 @@ def canonicalize_url_sql(col_sql: str) -> str:
     u = f"regexp_replace({u}, '\\?{_TRACK}$', '')"
     u = f"regexp_replace({u}, '([^/])/+$', '\\1')"
     return u
+
+
+# -- URL-level filtering (RefinedWeb-style blocklist + keyword scoring) ------
+#
+# No reference precedent; task-brief web-mode scope. RefinedWeb (Penedo et
+# al. 2023, sec 3.1) filters pages by (a) a curated domain blocklist and
+# (b) soft keyword scoring of the URL itself. Both are pure Catalyst here:
+# the blocklist is a broadcast join on the registrable domain (UT1-sized
+# lists -- a few million rows -- still broadcast comfortably; beyond that
+# the join degrades to a shuffled semi-join on the domain key) and keyword
+# scoring is a fixed sum of contains() probes.
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)"
+
+#: soft-block keywords probed as substrings of the lowercased URL
+BLOCK_KEYWORDS = ("casino", "porn", "xxx", "viagra", "escort", "gambling")
+
+
+def url_host(col) -> Column:
+    """Lowercased host[:port] of a URL ('' when there is no authority)."""
+    return F.lower(F.regexp_extract(col, _HOST_RE, 1))
+
+
+def registrable_domain(col) -> Column:
+    """Last two dot-labels of the host, port stripped -- a deliberate
+    public-suffix-list approximation (the real PSL is a broadcast table a
+    deployment can swap in; the join shape is identical)."""
+    host = F.regexp_replace(url_host(col), r":\d+$", "")
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_keyword_hits(col, keywords=BLOCK_KEYWORDS) -> Column:
+    """Number of BLOCK_KEYWORDS occurring as substrings of the URL."""
+    low = F.lower(col)
+    out = F.lit(0)
+    for kw in keywords:
+        out = out + F.when(low.contains(kw), 1).otherwise(0)
+    return out
+
+
+def flag_blocked_urls(
+    df,
+    blocklist,
+    url_col: str = "url",
+    keywords=BLOCK_KEYWORDS,
+    max_keyword_hits: int = 0,
+):
+    """Add ``url_domain``, ``url_kw_hits`` and ``url_blocked`` columns:
+    blocked iff the registrable domain appears in ``blocklist`` (a
+    DataFrame with a ``domain`` column, lowercase) or more than
+    ``max_keyword_hits`` keywords hit. Rows are flagged, never dropped --
+    the pipeline's quarantine discipline (drop_reasons) applies downstream.
+    """
+    bl = (
+        blocklist.select(F.lower(F.col("domain")).alias("url_domain"))
+        .distinct()
+        .withColumn("_bl", F.lit(True))
+    )
+    out = (
+        df.withColumn("url_domain", registrable_domain(F.col(url_col)))
+        .withColumn("url_kw_hits", url_keyword_hits(F.col(url_col), keywords))
+        .join(F.broadcast(bl), "url_domain", "left")
+    )
+    return (
+        out.withColumn(
+            "url_blocked",
+            F.coalesce(F.col("_bl"), F.lit(False))
+            | (F.col("url_kw_hits") > max_keyword_hits),
+        )
+        .drop("_bl")
+        .select(*df.columns, "url_domain", "url_kw_hits", "url_blocked")
+    )
