@@ -46,6 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop docs whose toxicity-lexicon word fraction "
                         "exceeds this (0.0 = C4-style any-badword drop; "
                         "omit = gate off)")
+    p.add_argument("--url-blocklist", default=None,
+                   help="comma-separated registrable domains to drop "
+                        "(RefinedWeb-style URL gate; omit = gate off). "
+                        "For UT1-sized lists pass a table via the API "
+                        "(PipelineConfig.url_blocklist DataFrame).")
+    p.add_argument("--max-url-kw-hits", type=int, default=None,
+                   help="drop docs whose URL contains more than this many "
+                        "block keywords (omit = gate off)")
     p.add_argument("--salt-partitions", type=int, default=0,
                    help="salted-repartition width for domain skew (0 = off)")
     p.add_argument("--buckets", type=int, default=64,
@@ -121,6 +129,10 @@ def main(argv: list[str] | None = None) -> int:
         salt_partitions=args.salt_partitions,
         html_fallback=args.html_fallback,
         rule_metrics=args.rule_metrics,
+        url_blocklist=(
+            tuple(args.url_blocklist.split(",")) if args.url_blocklist else None
+        ),
+        max_url_kw_hits=args.max_url_kw_hits,
     )
     pipe = QualityFilterPipeline(cfg)
     pages = catalog.read_table(spark, args.input)

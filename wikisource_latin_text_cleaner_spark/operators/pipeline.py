@@ -50,6 +50,14 @@ class PipelineConfig:
     #: column, aggregated into the metrics table. Counting rides the subn
     #: calls the scrub already makes -- no extra text scans.
     rule_metrics: bool = False
+    #: opt-in URL-level gate (RefinedWeb sec 3.1): a tuple/list of blocked
+    #: registrable domains (literal isin) or a DataFrame with a ``domain``
+    #: column (broadcast join, the UT1-sized path). None (default) keeps
+    #: the gate off so existing keep/drop decisions stay byte-stable.
+    url_blocklist: object | None = None
+    #: drop when more than this many functions.urls.BLOCK_KEYWORDS occur as
+    #: substrings of the URL; None (default) = gate off.
+    max_url_kw_hits: int | None = None
 
 
 class QualityFilterPipeline:
@@ -88,7 +96,7 @@ class QualityFilterPipeline:
             df = salted_repartition(df, "url", cfg.salt_partitions)
 
         if cfg.fused:
-            return self._transform_fused(df)
+            return self._apply_url_gate(self._transform_fused(df))
 
         verdict_udf = udfs.make_verdict_udf(cfg.min_size_bytes, cfg.extensions,
                                             rule_metrics=cfg.rule_metrics)
@@ -147,10 +155,58 @@ class QualityFilterPipeline:
             )
         # ref A4 counter: chars removed vs the FINAL clean text (post-PII),
         # so both transform paths report identical numbers
-        return df.withColumn(
+        return self._apply_url_gate(df.withColumn(
             "chars_removed",
             F.col("_n_raw") - F.coalesce(F.length("clean_text"), F.lit(0)),
-        ).drop("_n_raw")
+        ).drop("_n_raw"))
+
+    def _apply_url_gate(self, df: DataFrame) -> DataFrame:
+        """RefinedWeb-style URL gate (domain blocklist + keyword score),
+        applied identically after both transform paths. Pure Catalyst over
+        the url column: a literal isin for small inline lists, a broadcast
+        join for table-sized blocklists; keyword scoring is a fixed sum of
+        contains() probes. Docs failing the gate get drop reason
+        'url_blocklist' (langid-gate discipline: only keep=true rows flip,
+        earlier reasons are preserved)."""
+        cfg = self.config
+        if cfg.url_blocklist is None and cfg.max_url_kw_hits is None:
+            return df
+        from ..functions import urls as _urls
+
+        cols = df.columns
+        blocked = F.lit(False)
+        if cfg.url_blocklist is not None:
+            if isinstance(cfg.url_blocklist, DataFrame):
+                bl = (
+                    cfg.url_blocklist
+                    .select(F.lower(F.col("domain")).alias("_bl_dom"))
+                    .distinct()
+                    .withColumn("_bl", F.lit(True))
+                )
+                df = df.withColumn(
+                    "_bl_dom", _urls.registrable_domain(F.col("url"))
+                ).join(F.broadcast(bl), "_bl_dom", "left")
+                blocked = blocked | F.coalesce(F.col("_bl"), F.lit(False))
+            else:
+                doms = sorted({d.lower() for d in cfg.url_blocklist})
+                blocked = blocked | _urls.registrable_domain(
+                    F.col("url")
+                ).isin(doms)
+        if cfg.max_url_kw_hits is not None:
+            blocked = blocked | (
+                _urls.url_keyword_hits(F.col("url")) > cfg.max_url_kw_hits
+            )
+        gate_fail = F.col("keep") & blocked
+        return (
+            df.withColumn(
+                "drop_reasons",
+                F.when(gate_fail, F.array_union(
+                    "drop_reasons", F.array(F.lit("url_blocklist"))))
+                .otherwise(F.col("drop_reasons")),
+            )
+            .withColumn("keep", F.col("keep") & ~gate_fail)
+            .select(*cols)
+        )
 
     def _transform_fused(self, df: DataFrame) -> DataFrame:
         """One ArrowEvalPython stage for the whole per-document pipeline;
