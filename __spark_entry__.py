@@ -811,6 +811,26 @@ def q_url_blocklist(spark, sf):
     )
 
 
+def q_trained_perplexity(spark, sf):
+    """Corpus-TRAINED char-bigram LM perplexity (functions/lm.py): exact
+    global bigram counts (one 1600-cell vector per partition, JVM-side
+    reduce, 1600-row collect), add-one smoothing, then every doc scored
+    under the model trained on this very corpus. The oracle re-derives the
+    whole thing in SQL -- counts, row totals, smoothed log-probs, per-doc
+    ppx -- so a counting bug anywhere surfaces as a value mismatch.
+    Same 2dp surface as perplexity_stats (fp divergence ~1e-13,
+    summation-order only)."""
+    from wikisource_latin_text_cleaner_spark.functions import lm
+
+    d = _docs(spark, sf, spread=True)
+    model = lm.train_char_bigram_lm(d)
+    scorer = lm.make_perplexity_udf(model)
+    return d.select("lang", scorer("text").alias("ppx")).groupBy("lang").agg(
+        F.round(F.avg("ppx"), 2).alias("avg_ppx"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size_stats": q_size_stats,
@@ -870,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_keep_first": q_corpus_line_keep_first,
         "url_blocklist": q_url_blocklist,
+        "trained_perplexity": q_trained_perplexity,
     }
 
 
@@ -2786,6 +2807,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT true_lang AS lang, lang_pred, count(*) AS n_docs
             FROM pred WHERE rn = 1 GROUP BY true_lang, lang_pred
+        """,
+        "trained_perplexity": """
+            -- full SQL re-derivation of TRAINING + scoring: bigram counts
+            -- over the corpus, add-one smoothing (row total = observed
+            -- sum + V), per-doc exp(-mean log-prob)
+            WITH t AS (
+              SELECT doc_id, lang,
+                     translate(lower(text), '123456789', '000000000') AS s,
+                     length(translate(lower(text), '123456789', '000000000')) AS n
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, lang,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
+              FROM t, UNNEST(range(1, CAST(n AS INT))) AS u(i)
+              WHERE n >= 2
+            ),
+            big AS (
+              SELECT doc_id, lang,
+                     CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END AS i1,
+                     CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END AS i2
+              FROM ch
+            ),
+            cnt AS (SELECT i1, i2, count(*) AS c FROM big GROUP BY i1, i2),
+            rowtot AS (SELECT i1, sum(c) AS rs FROM cnt GROUP BY i1),
+            scored AS (
+              SELECT b.doc_id, b.lang,
+                     exp(-avg(ln((cnt.c + 1) / (rowtot.rs + 40.0)))) AS ppx
+              FROM big b
+              JOIN cnt ON b.i1 = cnt.i1 AND b.i2 = cnt.i2
+              JOIN rowtot ON b.i1 = rowtot.i1
+              GROUP BY b.doc_id, b.lang
+            )
+            SELECT lang, round(avg(ppx), 2) AS avg_ppx,
+                   count(*) AS n_docs
+            FROM scored GROUP BY lang
         """,
         "perplexity_stats": """
             WITH t AS (

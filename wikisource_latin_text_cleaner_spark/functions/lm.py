@@ -1,0 +1,82 @@
+"""Distributed KenLM-style character-bigram LM: train ON the corpus being
+filtered, then score each document's perplexity under the trained model.
+
+functions/perplexity.py ships a frozen seed-trained matrix (the reference-
+fidelity path; no reference precedent, SURVEY.md §7.0). This module is the
+corpus-scale counterpart: exact global bigram counts aggregated across the
+cluster, add-one smoothing, and a scorer UDF closing over the (tiny)
+trained matrix -- the shape a real web pipeline uses when the quality LM
+must reflect the corpus distribution rather than a hand-picked seed.
+
+Scale shape:
+  * counting never explodes or shuffles the corpus: mapInPandas folds each
+    partition into ONE flat (V*V)=1600-cell numpy count vector (one output
+    row per partition, ~13 KB);
+  * those per-partition vectors reduce JVM-side -- posexplode to
+    (cell, count) rows and a groupBy(cell).sum partial-aggregates, so the
+    driver collects exactly V*V rows no matter how many partitions the
+    corpus has (100k-partition table -> still a 1600-row collect);
+  * the trained matrix is ~12.8 KB -- broadcast inside the scorer UDF
+    closure, same as the frozen model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .perplexity import V, _ids
+
+
+def train_char_bigram_lm(df: DataFrame, text_col: str = "text") -> np.ndarray:
+    """Exact corpus-wide bigram counts -> add-one-smoothed (V, V) log-prob
+    matrix (row-normalized, natural log). Deterministic: counts are exact
+    integers, so the result is independent of partitioning and task order.
+    """
+
+    def _count(iterator):
+        counts = np.zeros(V * V, dtype=np.int64)
+        for pdf in iterator:
+            for t in pdf[text_col]:
+                if t is not None and len(t) >= 2:
+                    ids = _ids(t.lower())
+                    counts += np.bincount(
+                        ids[:-1] * V + ids[1:], minlength=V * V
+                    )
+        yield pd.DataFrame({"counts": [counts.tolist()]})
+
+    per_part = df.select(text_col).mapInPandas(_count, schema="counts array<long>")
+    cells = (
+        per_part.select(F.posexplode("counts").alias("cell", "c"))
+        .groupBy("cell")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    flat = np.zeros(V * V, dtype=np.float64)
+    for r in cells:
+        flat[r["cell"]] = r["c"]
+    counts = flat.reshape(V, V) + 1.0  # add-one smoothing
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+def make_perplexity_udf(logp: np.ndarray):
+    """Vectorized scorer under an arbitrary (V, V) log-prob matrix:
+    exp(-mean bigram log-prob), inf for texts shorter than 2 chars
+    (mirrors perplexity.perplexity exactly)."""
+    mat = np.ascontiguousarray(logp, dtype=np.float64)
+
+    @pandas_udf("double")
+    def trained_ppx(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            if not t or len(t) < 2:
+                out[i] = np.inf
+                continue
+            ids = _ids(t.lower())
+            out[i] = np.exp(-mat[ids[:-1], ids[1:]].mean())
+        return pd.Series(out)
+
+    return trained_ppx
