@@ -66,6 +66,12 @@ HEADLINE = (
     "knn_bruteforce",
     "langid_histogram",
     "pipeline_decisions",
+    # added round 3 (totals are NOT comparable to earlier rounds' JSON;
+    # per-query timings are): corpus-wide line dedup (explode + broadcast
+    # heavy set + affected-only rebuild) and corpus-trained LM (mapInPandas
+    # partial counts + JVM reduce + scoring UDF)
+    "corpus_line_dedup",
+    "trained_perplexity",
 )
 
 

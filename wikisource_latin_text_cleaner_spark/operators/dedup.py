@@ -736,6 +736,7 @@ def corpus_line_dedup(
     min_count: int = 2,
     keep_first: bool = False,
     delimiter: str = "\n",
+    persist_line_hashes: bool = True,
 ) -> DataFrame:
     """Corpus-WIDE duplicate-line removal: any non-blank line occurring at
     least ``min_count`` times across the whole corpus is removed from every
@@ -765,24 +766,44 @@ def corpus_line_dedup(
         exactly on the heavy hitters this operator targets.
     If the heavy set ever outgrows broadcast range the joins degrade
     gracefully to shuffled joins on the uniform md5 keys.
+
+    ``persist_line_hashes`` (default True) caches the compact
+    (_id,_pos,_h) hash frame so heavy-counting and affected-doc discovery
+    share ONE explode of the corpus (aliased branches defeat Spark's
+    exchange reuse, same hazard as the dedup self-joins above); the cache
+    holds 16-byte hashes, never line text. At extreme corpus sizes where
+    even that is unwelcome, pass False to trade the cache for a second
+    scan+explode. The tiny heavy/affected frames are always persisted --
+    each feeds two branches and recomputing them would re-aggregate the
+    corpus.
     """
-    lines = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias("_pos", "_line"),
-    ).withColumn("_h", F.md5(F.encode("_line", "utf-8")))
-    nonblank = lines.where(F.trim(F.col("_line")) != "")
+    from pyspark.storagelevel import StorageLevel
+
+    nb_hashes = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), delimiter, -1))
+             .alias("_pos", "_line"),
+        )
+        .where(F.trim(F.col("_line")) != "")
+        .select("_id", "_pos", F.md5(F.encode("_line", "utf-8")).alias("_h"))
+    )
+    if persist_line_hashes:
+        nb_hashes = nb_hashes.persist(StorageLevel.MEMORY_AND_DISK)
 
     heavy = (
-        nonblank.groupBy("_h")
+        nb_hashes.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_cnt"),
              F.min(F.struct("_id", "_pos")).alias("_first"))
         .where(F.col("_cnt") >= min_count)
         .select("_h", "_first")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     affected_ids = (
-        nonblank.join(F.broadcast(heavy.select("_h")), "_h", "left_semi")
+        nb_hashes.join(F.broadcast(heavy.select("_h")), "_h", "left_semi")
         .select("_id").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     untouched = df.join(
         affected_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
