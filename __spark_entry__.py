@@ -831,6 +831,49 @@ def q_trained_perplexity(spark, sf):
     )
 
 
+_SEMDEDUP_CELLS = 8
+_SEMDEDUP_TAU = 0.45  # natural corpus max cosine is ~0.51 -> nontrivial drops
+
+
+def _semdedup_centroids():
+    """Fixed seeded unit-norm centroids shared verbatim with the oracle
+    (repr round-trips float64 exactly). The k-means TRAINER is covered by
+    tests/test_similarity.py; pinning centroids here makes the driver
+    check exercise assignment + cell-local join + drop rule cross-engine
+    without an engine-unreachable training step in the SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(271828)
+    c = rng.randn(_SEMDEDUP_CELLS, 64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _semdedup_cent_sql() -> str:
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}])"
+        for i, row in enumerate(_semdedup_centroids())
+    )
+    return f"cent(cell, c) AS (VALUES {rows})"
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): nearest-centroid cells, then drop
+    every vector with a smaller-id same-cell neighbor at cosine >= 0.45
+    (operators/dedup.py:semdedup). Oracle: full SQL re-derivation --
+    argmax cell assignment from the shared centroid literals, the
+    cell-LOCAL pair search (so a cross-cell leak in the Spark join would
+    show as a count mismatch), the 6dp-rounded threshold compare, and the
+    survivor set witnessed by sum(vec_id)."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    surv = dedup.semdedup(
+        emb, threshold=_SEMDEDUP_TAU, centroids=_semdedup_centroids()
+    )
+    return surv.groupBy("label").agg(
+        F.count("*").alias("n_survivors"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size_stats": q_size_stats,
@@ -891,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_keep_first": q_corpus_line_keep_first,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
+        "semdedup_survivors": q_semdedup,
     }
 
 
@@ -2807,6 +2851,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT true_lang AS lang, lang_pred, count(*) AS n_docs
             FROM pred WHERE rn = 1 GROUP BY true_lang, lang_pred
+        """,
+        "semdedup_survivors": f"""
+            -- SemDeDup re-derivation: argmax cell from the shared
+            -- centroid literals, cell-LOCAL pairs only, 6dp-rounded
+            -- cosine vs threshold, survivors = no smaller-id neighbor
+            WITH {_semdedup_cent_sql()},
+            v AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+            ),
+            sims AS (
+              SELECT v.vec_id, cent.cell,
+                     list_dot_product(v.e, cent.c) AS dot
+              FROM v CROSS JOIN cent
+            ),
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cell ASC) AS rn
+                FROM sims
+              ) WHERE rn = 1
+            ),
+            dropped AS (
+              SELECT DISTINCT ab.vec_id AS id_b
+              FROM assign aa
+              JOIN assign ab ON aa.cell = ab.cell AND ab.vec_id > aa.vec_id
+              JOIN v a ON a.vec_id = aa.vec_id
+              JOIN v b ON b.vec_id = ab.vec_id
+              WHERE round(list_dot_product(a.e, b.e)
+                          / (sqrt(list_dot_product(a.e, a.e))
+                             * sqrt(list_dot_product(b.e, b.e))),
+                          6) >= {_SEMDEDUP_TAU}
+            )
+            SELECT label, count(*) AS n_survivors,
+                   CAST(sum(vec_id) AS BIGINT) AS id_sum
+            FROM v WHERE vec_id NOT IN (SELECT id_b FROM dropped)
+            GROUP BY label
         """,
         "trained_perplexity": """
             -- full SQL re-derivation of TRAINING + scoring: bigram counts

@@ -72,6 +72,8 @@ HEADLINE = (
     # partial counts + JVM reduce + scoring UDF)
     "corpus_line_dedup",
     "trained_perplexity",
+    # added round 3, later: cluster-local semantic dedup over embeddings
+    "semdedup_survivors",
 )
 
 

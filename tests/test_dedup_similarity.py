@@ -748,3 +748,91 @@ def test_ivf_train_rejects_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no rows"):
         similarity.train_ivf_centroids(empty)
+
+
+# --- SemDeDup (Abbas et al. 2023) -----------------------------------------
+
+def _semdedup_numpy(vecs: dict, cells: dict, tau: float) -> set:
+    """Pure-numpy oracle: survivors = ids with no smaller-id same-cell
+    neighbor at 6dp-rounded cosine >= tau."""
+    alive = set(vecs)
+    for b in sorted(vecs):
+        vb = np.asarray(vecs[b])
+        for a in sorted(vecs):
+            if a >= b or cells[a] != cells[b]:
+                continue
+            va = np.asarray(vecs[a])
+            cos = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if cos >= tau:
+                alive.discard(b)
+                break
+    return alive
+
+
+def test_semdedup_matches_numpy_oracle(spark):
+    """Trained-centroid path: planted dup pairs inside natural clusters are
+    dropped (keep-smallest-id), cross-cluster similars survive."""
+    rng = np.random.default_rng(42)
+    anchors = rng.standard_normal((4, 16))
+    rows, vecs = [], {}
+    i = 0
+    for a in anchors:
+        for _ in range(8):
+            v = a + rng.standard_normal(16) * 0.05
+            rows.append((i, [float(x) for x in v]))
+            vecs[i] = v
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_ivf_centroids(df, n_cells=4, sample_rows=1000)
+    out = dedup.semdedup(df, threshold=0.98, centroids=cents, persist_cells=False)
+    got = {r.vec_id for r in out.collect()}
+
+    c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cell_of = {
+        k: int(np.argmax((v / np.linalg.norm(v)) @ c.T)) for k, v in vecs.items()
+    }
+    want = _semdedup_numpy(vecs, cell_of, 0.98)
+    assert got == want
+    assert len(got) < len(vecs), "tight planted clusters must shed members"
+
+
+def test_semdedup_is_cell_local(spark):
+    """Identical vectors assigned to different cells must BOTH survive:
+    the O(n^2) join never crosses cell boundaries (that locality is what
+    makes the operator scale)."""
+    # Pinned centroids: cell 0 <- +x, cell 1 <- +y. A vector on the 45deg
+    # diagonal ties; argmax picks cell 0. Put an exact dup of the diagonal
+    # vector nudged into cell 1 territory: cosine ~1 but cells differ.
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = [
+        (0, [1.0, 0.9]),   # cell 0
+        (1, [0.9, 1.0]),   # cell 1, cosine(0,1) = 0.994 -> would drop if joined
+        (2, [1.0, 0.01]),  # cell 0
+        (3, [1.0, 0.02]),  # cell 0, cosine(2,3) ~ 1 -> dropped (same cell)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semdedup(df, threshold=0.99, centroids=cents, persist_cells=False)
+    assert {r.vec_id for r in out.collect()} == {0, 1, 2}
+
+
+def test_semdedup_persist_assigns_each_vector_once(spark, tmp_path):
+    """The cell-assignment UDF must run once per vector, not once per
+    aliased self-join side; compile the unpersisted plan FIRST (cache
+    manager substitutes cached frames into later matching plans)."""
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    path = str(tmp_path / "sd.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(path)
+    d = spark.read.parquet(path)
+    cents = rng.standard_normal((4, 8))
+    out_n = dedup.semdedup(d, threshold=0.8, centroids=cents, persist_cells=False)
+    plan_n = out_n._jdf.queryExecution().executedPlan().toString()
+    out_p = dedup.semdedup(d, threshold=0.8, centroids=cents, persist_cells=True)
+    plan_p = out_p._jdf.queryExecution().executedPlan().toString()
+    assert plan_p.count("InMemoryTableScan") >= 2, plan_p
+    # Unpersisted it is even worse than 2x: the join-key isnotnull(cell)
+    # pushdown evaluates the UDF a second time per side -> 4 Arrow passes.
+    assert "InMemoryTableScan" not in plan_n and plan_n.count("ArrowEvalPython") == 4
+    assert sorted(r.vec_id for r in out_p.collect()) == sorted(
+        r.vec_id for r in out_n.collect()
+    )

@@ -847,3 +847,67 @@ def corpus_line_dedup(
         .select(*df.columns)
     )
     return untouched.select(*df.columns).unionByName(fixed)
+
+
+# -- SemDeDup: semantic dedup via cluster-local cosine (Abbas et al. 2023) ---
+
+def semdedup(
+    df: DataFrame,
+    n_cells: int = 32,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids=None,
+    persist_cells: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): spherical k-means clusters the
+    embedding space, then ONLY within each cluster every vector with a
+    smaller-id neighbor at cosine >= ``threshold`` is dropped; survivors
+    are returned with all original columns. The keep rule is the
+    deterministic pairwise form (drop b iff exists a < b in the same cell
+    with cos(a,b) >= threshold) rather than the paper's random-per-group
+    pick -- same asymptotics, engine-portable, exactly SQL-re-derivable.
+
+    No reference precedent; task-brief scope (embedding-cosine near-dup at
+    corpus scale). Cluster-locality is the point: the O(n^2) cosine join
+    collapses to sum over cells of O(|cell|^2), and the cell id is the
+    shuffle/partition key -- the join never crosses cells. Centroid
+    training is similarity.train_ivf_centroids (bounded uniform sample,
+    constant driver memory); assignment is one vectorized Arrow batch
+    matmul per partition (similarity.make_cell_udf). The assigned frame is
+    persisted before the self-join (aliased branches defeat exchange
+    reuse -- see the minhash/ngram self-joins above); cosine itself is
+    JVM-side zip_with/aggregate on double-cast vectors, rounded to 6dp
+    BEFORE the threshold compare in both engines so boundary pairs cannot
+    flap on float noise.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .similarity import make_cell_udf, train_ivf_centroids
+
+    if centroids is None:
+        centroids = train_ivf_centroids(df, n_cells=n_cells, vec_col=vec_col)
+    cell_udf = make_cell_udf(centroids)
+    cells = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("cell", cell_udf("v"))
+    if persist_cells:
+        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+
+    a = cells.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = cells.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine",
+                    F.round(dot / (norm(F.col("v_a")) * norm(F.col("v_b"))), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
