@@ -831,6 +831,52 @@ def q_trained_perplexity(spark, sf):
     )
 
 
+def _logp_sql_literal() -> str:
+    """Frozen LOGP matrix as a flat SQL array literal (repr round-trips
+    float64 exactly; same embedding trick as perplexity_stats)."""
+    from wikisource_latin_text_cleaner_spark.functions.perplexity import LOGP
+
+    return "[" + ", ".join(repr(float(x)) for x in LOGP.ravel()) + "]"
+
+
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity tiles per language (Wenzek et al.
+    2020; operators/textstats.py:ccnet_ppx_buckets): score every doc under
+    the frozen char-bigram LM, ntile(3) within each lang ordered by
+    6dp-rounded ppx with doc_id tiebreak. Oracle: same embedded-matrix
+    scoring as perplexity_stats plus the identical ntile window."""
+    d = _docs(spark, sf, spread=True)
+    scored = d.select(
+        "doc_id", "lang", udfs.perplexity_udf("text").alias("ppx")
+    )
+    b = textstats.ccnet_ppx_buckets(scored)
+    return b.groupBy("lang", F.col("ppx_bucket").cast("long").alias("ppx_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("ppx"), 2).alias("avg_ppx"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def q_nb_langid(spark, sf):
+    """Corpus-trained Naive-Bayes language classifier (functions/lm.py:
+    train_char_bigram_lm_by + make_nb_classifier_udf): per-lang bigram
+    models + priors trained in ONE pass (n_labels*1601-row collect),
+    every doc re-classified, confusion matrix returned. The oracle
+    re-derives TRAINING (per-lang counts, row totals, priors) and SCORING
+    (per-doc per-model log-likelihood + log prior, 6dp round, argmax with
+    lang-asc tiebreak) entirely in SQL."""
+    from wikisource_latin_text_cleaner_spark.functions import lm
+
+    d = _docs(spark, sf, spread=True)
+    models, priors = lm.train_char_bigram_lm_by(d)
+    pred = lm.make_nb_classifier_udf(models, priors)
+    return (
+        d.select(F.col("lang").alias("true_lang"), pred("text").alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 _SEMDEDUP_CELLS = 8
 _SEMDEDUP_TAU = 0.45  # natural corpus max cosine is ~0.51 -> nontrivial drops
 
@@ -871,6 +917,56 @@ def q_semdedup(spark, sf):
     return surv.groupBy("label").agg(
         F.count("*").alias("n_survivors"),
         F.sum("vec_id").alias("id_sum"),
+    )
+
+
+_BLOOM_M = 512  # deliberately tiny so FALSE POSITIVES occur and must match
+_BLOOM_K = 3
+
+
+def q_bloom_blocklist(spark, sf):
+    """Bloom-filter blocklist gate (operators/decontaminate.py:build_bloom
+    + bloom_flag): blocklist = text of every doc_id % 7 == 0 doc, filter
+    sized SMALL (m=512, k=3) so the probe produces deterministic false
+    positives -- the oracle re-derives the md5 double-hash positions, the
+    set-bit set, and the all-k-bits membership test in SQL, so both the
+    guaranteed hits AND the exact false-positive set must agree."""
+    d = _docs(spark, sf, spread=True)
+    bits = decontaminate.build_bloom(
+        d.where(F.col("doc_id") % 7 == 0), "text", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    flagged = decontaminate.bloom_flag(
+        d, bits, "text", m_bits=_BLOOM_M, k=_BLOOM_K
+    ).where("in_bloom")
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_flagged"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_FRAC = 0.1
+
+
+def q_dsir_select(spark, sf):
+    """DSIR importance-resampling selection (operators/sampling.py:
+    dsir_select): target model trained on the 'en' docs, pool model on the
+    rest, top-ceil(0.1*|pool|) pool docs by 6dp-rounded log importance
+    weight (weight desc, doc_id asc tiebreak). Oracle re-derives BOTH
+    trainings and the scoring in SQL (LEFT JOINs + COALESCE for bigrams
+    unseen in a model -- add-one smoothing gives them (0+1)/(0+40)), ranks
+    with the same rounded weight + tiebreak, and witnesses the selected
+    set per lang via count, 2dp avg weight, and sum(doc_id)."""
+    d = _docs(spark, sf, spread=True)
+    sel = sampling.dsir_select(
+        d.where(F.col("lang") != _DSIR_TARGET_LANG),
+        d.where(F.col("lang") == _DSIR_TARGET_LANG),
+        frac=_DSIR_FRAC,
+    )
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_sel"),
+        F.round(F.avg("dsir_w"), 2).alias("avg_w"),
+        F.sum("doc_id").alias("id_sum"),
     )
 
 
@@ -935,6 +1031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
+        "dsir_select": q_dsir_select,
+        "bloom_blocklist": q_bloom_blocklist,
+        "nb_langid_confusion": q_nb_langid,
+        "ccnet_ppx_buckets": q_ccnet_buckets,
     }
 
 
@@ -2889,6 +2989,194 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vec_id) AS BIGINT) AS id_sum
             FROM v WHERE vec_id NOT IN (SELECT id_b FROM dropped)
             GROUP BY label
+        """,
+        "ccnet_ppx_buckets": f"""
+            -- CCNet tiles: frozen-matrix ppx (same kernel as
+            -- perplexity_stats), ntile(3) per lang over 6dp-rounded ppx
+            -- with doc_id tiebreak
+            WITH t AS (
+              SELECT doc_id, lang,
+                     translate(lower(text), '123456789', '000000000') AS s,
+                     length(translate(lower(text), '123456789', '000000000')) AS n
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, lang,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
+              FROM t, UNNEST(range(1, CAST(n AS INT))) AS u(i)
+              WHERE n >= 2
+            ),
+            lp AS (
+              SELECT doc_id, lang,
+                     ({_logp_sql_literal()})[
+                       (CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END) * 40
+                       + (CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END) + 1] AS l
+              FROM ch
+            ),
+            per_doc AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     exp(-avg(l)) AS ppx
+              FROM lp GROUP BY doc_id
+            ),
+            tiled AS (
+              SELECT lang, doc_id, ppx,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY round(ppx, 6) ASC,
+                                             doc_id ASC) AS ppx_bucket
+              FROM per_doc
+            )
+            SELECT lang, CAST(ppx_bucket AS BIGINT) AS ppx_bucket,
+                   count(*) AS n_docs, round(avg(ppx), 2) AS avg_ppx,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM tiled GROUP BY lang, ppx_bucket
+        """,
+        "nb_langid_confusion": """
+            -- NB re-derivation: per-lang bigram models + priors trained
+            -- in SQL, per-doc per-model log-likelihood + log prior,
+            -- 6dp round, argmax with lang-asc tiebreak
+            WITH t AS (
+              SELECT doc_id, lang,
+                     translate(lower(text), '123456789', '000000000') AS s,
+                     length(translate(lower(text), '123456789', '000000000')) AS n
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, lang,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
+              FROM t, UNNEST(range(1, CAST(n AS INT))) AS u(i)
+              WHERE n >= 2
+            ),
+            big AS (
+              SELECT doc_id, lang,
+                     CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END AS i1,
+                     CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END AS i2
+              FROM ch
+            ),
+            cnt AS (SELECT lang, i1, i2, count(*) AS c FROM big
+                    GROUP BY lang, i1, i2),
+            rt  AS (SELECT lang, i1, sum(c) AS rs FROM cnt GROUP BY lang, i1),
+            pri AS (SELECT lang, count(*) AS n FROM documents
+                    WHERE lang IS NOT NULL GROUP BY lang),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM pri),
+            ll AS (
+              SELECT b.doc_id, m.lang AS model_lang,
+                     sum(ln((COALESCE(c.c, 0) + 1)
+                            / (COALESCE(r.rs, 0) + 40.0))) AS s
+              FROM big b
+              CROSS JOIN pri m
+              LEFT JOIN cnt c ON c.lang = m.lang AND c.i1 = b.i1
+                             AND c.i2 = b.i2
+              LEFT JOIN rt  r ON r.lang = m.lang AND r.i1 = b.i1
+              GROUP BY b.doc_id, m.lang
+            ),
+            scored AS (
+              SELECT d.doc_id, d.lang AS true_lang, m.lang AS model_lang,
+                     round(COALESCE(ll.s, 0) + ln(m.n / tot.tn), 6) AS score
+              FROM documents d
+              CROSS JOIN pri m
+              CROSS JOIN tot
+              LEFT JOIN ll ON ll.doc_id = d.doc_id AND ll.model_lang = m.lang
+            ),
+            pred AS (
+              SELECT doc_id, true_lang, model_lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC,
+                                                 model_lang ASC) AS rn
+              FROM scored
+            )
+            SELECT true_lang, model_lang AS pred_lang, count(*) AS n_docs
+            FROM pred WHERE rn = 1 GROUP BY true_lang, pred_lang
+        """,
+        "bloom_blocklist": f"""
+            -- Bloom re-derivation: md5 double-hash positions
+            -- (h1 + i*h2 mod {_BLOOM_M}), set bits from the doc_id%7==0
+            -- blocklist, flagged iff ALL {_BLOOM_K} positions set --
+            -- exact parity including false positives
+            WITH keyed AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h1,
+                     CAST(('0x' || substr(md5(text || '{decontaminate.BLOOM_SALT}'),
+                                          1, 8)) AS BIGINT) AS h2
+              FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+              SELECT doc_id, lang, (h1 + u.i * h2) % {_BLOOM_M} AS p
+              FROM keyed, UNNEST(range(0, {_BLOOM_K})) AS u(i)
+            ),
+            bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 7 = 0),
+            probe AS (
+              SELECT pos.doc_id, pos.lang,
+                     bool_and(bits.p IS NOT NULL) AS flagged
+              FROM pos LEFT JOIN bits ON pos.p = bits.p
+              GROUP BY pos.doc_id, pos.lang
+            )
+            SELECT lang, count(*) AS n_flagged,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM probe WHERE flagged GROUP BY lang
+        """,
+        "dsir_select": f"""
+            -- DSIR re-derivation: train target ('{_DSIR_TARGET_LANG}') and
+            -- pool (rest) char-bigram models, score pool docs with the
+            -- summed log importance ratio (LEFT JOIN + COALESCE = add-one
+            -- smoothing for unseen bigrams), 6dp-round BEFORE ranking
+            -- (weight desc, doc_id asc), keep top ceil({_DSIR_FRAC}*|pool|)
+            WITH t AS (
+              SELECT doc_id, lang,
+                     translate(lower(text), '123456789', '000000000') AS s,
+                     length(translate(lower(text), '123456789', '000000000')) AS n
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, lang,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
+              FROM t, UNNEST(range(1, CAST(n AS INT))) AS u(i)
+              WHERE n >= 2
+            ),
+            big AS (
+              SELECT doc_id, lang,
+                     CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END AS i1,
+                     CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END AS i2
+              FROM ch
+            ),
+            tcnt AS (SELECT i1, i2, count(*) AS c FROM big
+                     WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY i1, i2),
+            trt  AS (SELECT i1, sum(c) AS rs FROM tcnt GROUP BY i1),
+            pcnt AS (SELECT i1, i2, count(*) AS c FROM big
+                     WHERE lang <> '{_DSIR_TARGET_LANG}' GROUP BY i1, i2),
+            prt  AS (SELECT i1, sum(c) AS rs FROM pcnt GROUP BY i1),
+            scored AS (
+              SELECT b.doc_id, b.lang,
+                     round(sum(
+                         ln((COALESCE(tc.c, 0) + 1) / (COALESCE(tr.rs, 0) + 40.0))
+                       - ln((COALESCE(pc.c, 0) + 1) / (COALESCE(pr.rs, 0) + 40.0))
+                     ), 6) AS w
+              FROM big b
+              LEFT JOIN tcnt tc ON b.i1 = tc.i1 AND b.i2 = tc.i2
+              LEFT JOIN trt  tr ON b.i1 = tr.i1
+              LEFT JOIN pcnt pc ON b.i1 = pc.i1 AND b.i2 = pc.i2
+              LEFT JOIN prt  pr ON b.i1 = pr.i1
+              WHERE b.lang <> '{_DSIR_TARGET_LANG}'
+              GROUP BY b.doc_id, b.lang
+            ),
+            kk AS (SELECT CAST(ceil({_DSIR_FRAC} * count(*)) AS BIGINT) AS k
+                   FROM documents WHERE lang <> '{_DSIR_TARGET_LANG}'),
+            ranked AS (
+              SELECT doc_id, lang, w,
+                     row_number() OVER (ORDER BY w DESC, doc_id ASC) AS rn
+              FROM scored
+            )
+            SELECT lang, count(*) AS n_sel, round(avg(w), 2) AS avg_w,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM ranked, kk WHERE rn <= kk.k GROUP BY lang
         """,
         "trained_perplexity": """
             -- full SQL re-derivation of TRAINING + scoring: bigram counts

@@ -73,7 +73,9 @@ HEADLINE = (
     "corpus_line_dedup",
     "trained_perplexity",
     # added round 3, later: cluster-local semantic dedup over embeddings
+    # and DSIR importance-resampling selection (two LM trainings + top-k)
     "semdedup_survivors",
+    "dsir_select",
 )
 
 

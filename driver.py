@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(RefinedWeb-style URL gate; omit = gate off). "
                         "For UT1-sized lists pass a table via the API "
                         "(PipelineConfig.url_blocklist DataFrame).")
+    p.add_argument("--url-blocklist-bloom", default=None, metavar="M_BITS,K",
+                   help="gate via a Bloom filter of the blocklist domains "
+                        "instead of an exact membership test -- the path "
+                        "for blocklists too large to broadcast (no false "
+                        "negatives; deterministic false-positive rate set "
+                        "by M_BITS). Requires --url-blocklist.")
     p.add_argument("--max-url-kw-hits", type=int, default=None,
                    help="drop docs whose URL contains more than this many "
                         "block keywords (omit = gate off)")
@@ -91,6 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    import dataclasses
 
     from pyspark.sql import SparkSession
 
@@ -134,6 +142,17 @@ def main(argv: list[str] | None = None) -> int:
         ),
         max_url_kw_hits=args.max_url_kw_hits,
     )
+    if args.url_blocklist_bloom:
+        if not args.url_blocklist:
+            raise SystemExit("--url-blocklist-bloom requires --url-blocklist")
+        m_bits, n_hashes = (int(x) for x in args.url_blocklist_bloom.split(","))
+        cfg = dataclasses.replace(
+            cfg,
+            url_blocklist=spark.createDataFrame(
+                [(d,) for d in args.url_blocklist.split(",")], "domain string"
+            ),
+            url_blocklist_bloom=(m_bits, n_hashes),
+        )
     pipe = QualityFilterPipeline(cfg)
     pages = catalog.read_table(spark, args.input)
 

@@ -836,3 +836,164 @@ def test_semdedup_persist_assigns_each_vector_once(spark, tmp_path):
     assert sorted(r.vec_id for r in out_p.collect()) == sorted(
         r.vec_id for r in out_n.collect()
     )
+
+
+# --- DSIR importance-resampling selection (Xie et al. 2023) ----------------
+
+def _bigram_logprobs_np(texts):
+    """Add-one-smoothed char-bigram log-prob matrix, mirrors functions/lm.py."""
+    from wikisource_latin_text_cleaner_spark.functions.perplexity import V, _ids
+
+    counts = np.zeros((V, V), dtype=np.float64)
+    for t in texts:
+        if t and len(t) >= 2:
+            ids = _ids(t.lower())
+            np.add.at(counts, (ids[:-1], ids[1:]), 1.0)
+    counts += 1.0
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
+
+
+def test_dsir_select_matches_numpy_oracle(spark):
+    """Top-k by summed log importance ratio must match the from-scratch
+    numpy derivation, and the English-like planted doc must outrank the
+    consonant-soup docs when the target corpus is English."""
+    from wikisource_latin_text_cleaner_spark.functions.perplexity import _ids
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    target_texts = [
+        "the quick brown fox jumps over the lazy dog and then rests",
+        "a stitch in time saves nine and all that glitters is not gold",
+        "to be or not to be that is the question for the ages",
+    ]
+    pool_rows = [
+        (0, "wherefore the gentle reader turns the page with great delight"),
+        (1, "zxqv kjht wpfg mzxn qqrt bbvc zzxw ppqq kkjj hhgg ffdd ssaa"),
+        (2, "mmnn ccvv bbzz xxqq wwee rrtt yyuu iioo pplk jjhg gfds aqwz"),
+        (3, "the cat sat on the mat and the dog lay by the door"),
+        (4, "qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp aaaa ssss"),
+        (5, "x"),  # < 2 chars: -inf weight, must never be selected
+    ]
+    target = spark.createDataFrame([(i, t) for i, t in enumerate(target_texts)],
+                                   "doc_id long, text string")
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+
+    out = sampling.dsir_select(pool, target, k=2)
+    got = sorted((r.doc_id, r.dsir_w) for r in out.collect())
+
+    delta = _bigram_logprobs_np(target_texts) - _bigram_logprobs_np(
+        [t for _, t in pool_rows])
+    want = []
+    for i, t in pool_rows:
+        if len(t) < 2:
+            want.append((i, -np.inf))
+            continue
+        ids = _ids(t.lower())
+        want.append((i, round(float(delta[ids[:-1], ids[1:]].sum()), 6)))
+    want = sorted(sorted(want, key=lambda p: (-p[1], p[0]))[:2])
+    assert got == want
+    assert {i for i, _ in got} <= {0, 3}, "English-like docs must win"
+
+
+def test_dsir_select_topk_is_take_ordered_not_global_sort(spark):
+    """Selection must compile to TakeOrderedAndProject (per-partition heaps
+    + driver merge), not a global Sort over an Exchange rangepartitioning —
+    that distinction is what makes top-k viable at corpus scale."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    rows = [(i, f"some english filler text number {i} with common words") for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.dsir_select(d, d.limit(10), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert out.count() == 5
+
+
+def test_dsir_select_validation(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    d = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="frac"):
+        sampling.dsir_select(d, d, frac=0.0)
+    with pytest.raises(ValueError, match="k must be positive"):
+        sampling.dsir_select(d, d, k=0)
+
+
+# --- Bloom-filter blocklist gate -------------------------------------------
+
+def _bloom_py(keys, m, k):
+    """Pure-python bloom oracle over md5 double hashing."""
+    import hashlib
+
+    def positions(key):
+        h1 = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        h2 = int(hashlib.md5(
+            (key + decontaminate_mod.BLOOM_SALT).encode()).hexdigest()[:8], 16)
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    bits = set()
+    for key in keys:
+        bits.update(positions(key))
+    return bits, positions
+
+
+from wikisource_latin_text_cleaner_spark.operators import (  # noqa: E402
+    decontaminate as decontaminate_mod,
+)
+
+
+def test_bloom_matches_python_oracle_including_false_positives(spark):
+    """Exact parity with a from-scratch python bloom: guaranteed hits AND
+    the deterministic false-positive set (tiny m forces collisions)."""
+    m, k = 64, 3
+    block = [f"blocked document text {i}" for i in range(10)]
+    probes = block + [f"novel probe text number {i}" for i in range(200)]
+    bdf = spark.createDataFrame([(t,) for t in block], "text string")
+    pdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(probes)], "pid long, text string")
+    bits = decontaminate_mod.build_bloom(bdf, "text", m_bits=m, k=k)
+    got = {r.pid: r.in_bloom for r in decontaminate_mod.bloom_flag(
+        pdf, bits, "text", m_bits=m, k=k).collect()}
+
+    bset, positions = _bloom_py(block, m, k)
+    want = {i: all(p in bset for p in positions(t))
+            for i, t in enumerate(probes)}
+    assert got == want
+    assert all(got[i] for i in range(len(block))), "no false negatives ever"
+    assert any(got[i] for i in range(len(block), len(probes))), \
+        "m=64 over 10 keys must produce at least one false positive"
+
+
+def test_bloom_null_key_never_flagged(spark):
+    bdf = spark.createDataFrame([("x y z",)], "text string")
+    bits = decontaminate_mod.build_bloom(bdf, "text", m_bits=256, k=3)
+    pdf = spark.createDataFrame([(0, None), (1, "x y z")], "pid long, text string")
+    got = {r.pid: r.in_bloom for r in decontaminate_mod.bloom_flag(
+        pdf, bits, "text", m_bits=256, k=3).collect()}
+    assert got == {0: False, 1: True}
+
+
+def test_bloom_probe_is_shuffle_free(spark):
+    """The probe must be one scan->project stage: positions are Catalyst
+    expressions and membership is an O(k) closure gather -- any Exchange
+    in the plan means the corpus is being shuffled to answer a per-row
+    question."""
+    bdf = spark.createDataFrame([("a b c",)], "text string")
+    bits = decontaminate_mod.build_bloom(bdf, "text", m_bits=256, k=3)
+    pdf = spark.createDataFrame([(i, f"t {i}") for i in range(20)],
+                                "pid long, text string")
+    plan = (
+        decontaminate_mod.bloom_flag(pdf, bits, "text", m_bits=256, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_validation():
+    import numpy as np
+
+    with pytest.raises(ValueError, match="positive"):
+        decontaminate_mod.build_bloom(None, "text", m_bits=0, k=3)
+    with pytest.raises(ValueError, match="bits"):
+        decontaminate_mod.bloom_member_col(
+            F.col("text"), np.zeros(4, dtype=np.uint8), m_bits=256, k=3)

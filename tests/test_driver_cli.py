@@ -130,3 +130,24 @@ def test_driver_flat_mode_output_layout(tmp_path, spark):
     data = spark.read.parquet(os.path.join(outd, "data"))
     assert data.count() == 250 and "rule" not in data.columns
     assert spark.read.parquet(os.path.join(outd, "metrics")).count() > 0
+
+
+def test_driver_url_blocklist_and_bloom_variant(tmp_path):
+    """--url-blocklist gates docs; --url-blocklist-bloom with a generous
+    filter makes identical decisions through the spark-submit surface."""
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    inp = str(tmp_path / "pages.parquet")
+    synth.write_pages_parquet(inp, 200, seed=33)
+    base = ["--input", inp, "--mode", "web", "--buckets", "2",
+            "--master", "local[4]", "--no-classify"]
+
+    plain = _run([*base, "--output", str(tmp_path / "o0")])
+    exact = _run([*base, "--output", str(tmp_path / "o1"),
+                  "--url-blocklist", "site00.example"])
+    bloom = _run([*base, "--output", str(tmp_path / "o2"),
+                  "--url-blocklist", "site00.example",
+                  "--url-blocklist-bloom", "65536,5"])
+    assert exact["docs_kept"] < plain["docs_kept"]
+    assert (bloom["docs_kept"], bloom["docs_quarantined"]) == (
+        exact["docs_kept"], exact["docs_quarantined"])

@@ -168,3 +168,43 @@ def test_dup_line_char_fraction_randomized_vs_python(spark):
     }
     for i, t in enumerate(texts):
         assert abs(got[i] - rules.dup_line_char_fraction(t)) < 1e-9, (i, repr(t))
+
+
+# --- CCNet perplexity bucketing --------------------------------------------
+
+def test_ccnet_buckets_match_python_ntile(spark):
+    """Equal-tile assignment per lang, ordered by 6dp-rounded ppx with
+    doc_id tiebreak, vs a from-scratch python ntile."""
+    from wikisource_latin_text_cleaner_spark.operators import textstats
+
+    rows = [
+        # lang a: 7 docs incl. a tie at ppx=5.0 broken by doc_id
+        (0, "a", 5.0), (1, "a", 3.0), (2, "a", 5.0), (3, "a", 1.0),
+        (4, "a", 9.0), (5, "a", 2.0), (6, "a", 7.0),
+        # lang b: 4 docs
+        (7, "b", 2.0), (8, "b", 8.0), (9, "b", 4.0), (10, "b", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppx double")
+    got = {r.doc_id: r.ppx_bucket
+           for r in textstats.ccnet_ppx_buckets(df).collect()}
+
+    def ntile(items, n):
+        # SQL ntile: first (len % n) tiles get the extra row
+        out, sz, extra, i = {}, len(items) // n, len(items) % n, 0
+        for tile in range(1, n + 1):
+            take = sz + (1 if tile <= extra else 0)
+            for _ in range(take):
+                if i < len(items):
+                    out[items[i]] = tile
+                    i += 1
+        return out
+
+    want = {}
+    for lang in ("a", "b"):
+        ids = [i for i, lg, _ in rows if lg == lang]
+        ppx = {i: p for i, lg, p in rows if lg == lang}
+        ordered = sorted(ids, key=lambda i: (round(ppx[i], 6), i))
+        want.update(ntile(ordered, 3))
+    assert got == want
+    # the tie at ppx=5.0: doc 0 must land in an earlier-or-equal tile
+    assert got[0] <= got[2]

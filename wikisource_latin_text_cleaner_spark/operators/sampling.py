@@ -11,6 +11,8 @@ both carry DuckDB oracles in the driver contract.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -190,3 +192,71 @@ def stratified_sample(
             .otherwise(threshold)
         )
     return df.where(bucket < threshold)
+
+
+def dsir_select(
+    pool: DataFrame,
+    target: DataFrame,
+    frac: float = 0.1,
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_w",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): train one n-gram bag model on the
+    TARGET distribution and one on the RAW POOL, score every pool document
+    with the log importance weight log p_target(x) - log p_pool(x), and
+    keep the top-k. The paper draws k samples with Gumbel noise; this
+    implementation takes the deterministic top-k (weight desc, id asc) so
+    runs are reproducible and exactly SQL-re-derivable.
+
+    Feature model: the corpus-trained char-bigram LM from functions/lm.py
+    (add-one smoothing, shared 40-char vocab) standing in for the paper's
+    hashed word-bigram bag -- same estimator family, deterministic and
+    cross-engine portable.
+
+    Scale shape: two LM trainings = two mapInPandas passes that fold each
+    partition into one 1600-cell vector (collect is 1600 rows regardless
+    of corpus size); scoring closes over the 12.8 KB delta matrix in one
+    Arrow pass; selection is orderBy(...).limit(k), which Spark executes
+    as TakeOrderedAndProject -- per-partition top-k heaps merged on the
+    driver, no global sort shuffle. Docs shorter than 2 chars score -inf
+    (no bigram evidence) and sort last.
+
+    No reference precedent; task-brief scope (quality-filter data
+    selection at corpus scale).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.lm import train_char_bigram_lm
+    from ..functions.perplexity import _ids
+
+    if k is None:
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(f"frac must be in (0, 1], got {frac}")
+        k = int(np.ceil(frac * pool.count()))
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    delta = np.ascontiguousarray(
+        train_char_bigram_lm(target, text_col=text_col)
+        - train_char_bigram_lm(pool, text_col=text_col)
+    )
+
+    @pandas_udf("double")
+    def dsir_w(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            if not t or len(t) < 2:
+                out[i] = -np.inf
+                continue
+            ids = _ids(t.lower())
+            out[i] = np.round(delta[ids[:-1], ids[1:]].sum(), 6)
+        return pd.Series(out)
+
+    return (
+        pool.withColumn(weight_col, dsir_w(F.col(text_col)))
+        .orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

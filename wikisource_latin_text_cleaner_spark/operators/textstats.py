@@ -89,3 +89,34 @@ def dataset_totals(views: DataFrame, text_col: str = "text") -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.octet_length(text_col)).alias("total_bytes"),
     )
+
+
+def ccnet_ppx_buckets(
+    df: DataFrame,
+    ppx_col: str = "ppx",
+    by: str = "lang",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    bucket_col: str = "ppx_bucket",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    rank every doc by LM perplexity within its language and cut into
+    ``n_buckets`` equal tiles (head = lowest ppx / cleanest, ..., tail).
+    Deterministic and exactly SQL-re-derivable: the rank orders by the
+    6dp-ROUNDED perplexity with ``id_col`` as tiebreak, so fp summation
+    noise between engines cannot flip tile boundaries.
+
+    This is the exact form (one ntile window = one shuffle on ``by`` +
+    per-group sort). CCNet itself assigns against head/tail CUTOFFS fitted
+    on a sample so the assignment stays a stateless map at 10^12 docs; at
+    that scale fit cutoffs on df.sample(...) with approx_percentile and
+    assign with a when/otherwise chain -- same semantics minus exact tile
+    equality, no global sort. The exact form is what the driver oracle
+    checks; the per-lang sort is fine up to ~10^9 docs per language.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(by).orderBy(
+        F.round(F.col(ppx_col), 6).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn(bucket_col, F.ntile(n_buckets).over(w))
