@@ -920,6 +920,24 @@ def q_semdedup(spark, sf):
     )
 
 
+_TEMP_ALPHA = 0.5
+
+
+def q_temperature_mix(spark, sf):
+    """Temperature/alpha language mixing (operators/sampling.py:
+    temperature_sample, mT5/XLM-R style): keep fraction per lang
+    proportional to p^(alpha-1), scaled so the most-boosted (smallest)
+    lang keeps everything; selection via the shared md5-bucket mechanism.
+    Oracle re-derives counts -> boosts -> thresholds -> per-doc bucket
+    test entirely in SQL."""
+    d = _docs(spark, sf, spread=True)
+    kept = sampling.temperature_sample(d, "lang", alpha=_TEMP_ALPHA)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 _BLOOM_M = 512  # deliberately tiny so FALSE POSITIVES occur and must match
 _BLOOM_K = 3
 
@@ -1035,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_blocklist": q_bloom_blocklist,
         "nb_langid_confusion": q_nb_langid,
         "ccnet_ppx_buckets": q_ccnet_buckets,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -2989,6 +3008,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vec_id) AS BIGINT) AS id_sum
             FROM v WHERE vec_id NOT IN (SELECT id_b FROM dropped)
             GROUP BY label
+        """,
+        "temperature_mix": f"""
+            -- alpha-mixing re-derivation: per-lang counts -> boost
+            -- p^(alpha-1) -> threshold scaled to the max boost ->
+            -- md5-bucket keep test (same bucket kernel as hash_split)
+            WITH cnt AS (SELECT lang, count(*) AS n FROM documents
+                         WHERE lang IS NOT NULL GROUP BY lang),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cnt),
+            b AS (SELECT lang, pow(n / tot.t, {_TEMP_ALPHA} - 1.0) AS boost
+                  FROM cnt, tot),
+            mx AS (SELECT max(boost) AS m FROM b),
+            thr AS (SELECT lang,
+                           CAST(round(boost / mx.m * {sampling.SPLIT_BUCKETS})
+                                AS BIGINT) AS th
+                    FROM b, mx),
+            kept AS (
+              SELECT d.doc_id, d.lang
+              FROM documents d JOIN thr ON d.lang = thr.lang
+              WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % {sampling.SPLIT_BUCKETS} < thr.th
+            )
+            SELECT lang, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM kept GROUP BY lang
         """,
         "ccnet_ppx_buckets": f"""
             -- CCNet tiles: frozen-matrix ppx (same kernel as

@@ -997,3 +997,52 @@ def test_bloom_validation():
     with pytest.raises(ValueError, match="bits"):
         decontaminate_mod.bloom_member_col(
             F.col("text"), np.zeros(4, dtype=np.uint8), m_bits=256, k=3)
+
+
+# --- temperature (alpha) mixing --------------------------------------------
+
+def test_temperature_sample_ratios_and_nesting(spark):
+    """alpha=0.5 must pull the kept distribution toward the temperature-
+    adjusted target: smallest stratum kept whole, each stratum's kept
+    count ~= f_s * n_s (md5-bucket binomial noise), and the alpha=0.25
+    sample nests inside alpha-free (=1.0) membership per stratum."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    rows = ([(i, "big") for i in range(4000)]
+            + [(i + 4000, "mid") for i in range(900)]
+            + [(i + 4900, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = sampling.temperature_sample(df, "lang", alpha=0.5)
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n = {"big": 4000, "mid": 900, "small": 100}
+    tot = 5000
+    boost = {s: (c / tot) ** -0.5 for s, c in n.items()}
+    top = boost["small"]
+    for s_, c in n.items():
+        frac = round(boost[s_] / top * sampling.SPLIT_BUCKETS) / sampling.SPLIT_BUCKETS
+        assert abs(got.get(s_, 0) - frac * c) <= 4 * (frac * c * (1 - frac) + 1) ** 0.5, \
+            (s_, got.get(s_, 0), frac * c)
+    assert got["small"] == 100  # most-boosted stratum kept whole
+
+    # alpha=1 keeps everything; lower alpha keeps a subset of higher alpha
+    all_kept = sampling.temperature_sample(df, "lang", alpha=1.0)
+    assert all_kept.count() == tot
+    low = {r["doc_id"] for r in
+           sampling.temperature_sample(df, "lang", alpha=0.25).collect()}
+    mid = {r["doc_id"] for r in kept.collect()}
+    assert low <= mid  # nested: same md5 buckets, smaller thresholds
+
+
+def test_temperature_sample_null_strata_dropped_and_validation(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "a")], "doc_id long, lang string")
+    kept = sampling.temperature_sample(df, "lang", alpha=0.5)
+    assert {r.doc_id for r in kept.collect()} == {0, 2}
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_sample(df, "lang", alpha=-0.1)
+    empty = spark.createDataFrame([(0, None)], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="strata"):
+        sampling.temperature_sample(empty, "lang")

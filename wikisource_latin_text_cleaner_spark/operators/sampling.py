@@ -260,3 +260,47 @@ def dsir_select(
         .orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature / alpha mixing (mT5, XLM-R): re-balance strata (e.g.
+    languages) toward p_s^alpha. With q_s = p_s^alpha / sum(p^alpha), each
+    stratum keeps the deterministic fraction f_s = (q_s/p_s) / max(q_s/p_s)
+    -- the kept corpus follows the temperature-adjusted distribution
+    exactly (in ratio), the most-boosted stratum is kept whole, and
+    alpha=1 keeps everything. Selection reuses the md5-bucket mechanism
+    (split_bucket_col): same row survives across runs/engines/cluster
+    sizes, samples are nested in alpha, and the whole thing re-derives in
+    SQL.
+
+    Scale shape: one small groupBy(strata).count() (collect = n_strata
+    rows), then a pure Catalyst filter -- no shuffle of the corpus, no
+    RNG, no state. Thresholds are computed on exact counts; at 10^12 docs
+    run the count on the same pass that wrote the corpus manifest.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    if not counts:
+        raise ValueError("no non-null strata to sample")
+    total = sum(counts.values())
+    boost = {s: (n / total) ** (alpha - 1.0) for s, n in counts.items()}
+    top = max(boost.values())
+    bucket = split_bucket_col(F.col(key_col))
+    threshold = F.lit(-1)  # NULL strata keep nothing
+    for s, b in sorted(boost.items()):
+        threshold = F.when(
+            F.col(strata_col) == s, int(round(b / top * SPLIT_BUCKETS))
+        ).otherwise(threshold)
+    return df.where(bucket < threshold)
