@@ -877,7 +877,7 @@ def q_nb_langid(spark, sf):
     )
 
 
-_SEMDEDUP_CELLS = 8
+_SEMDEDUP_CELLS = 16  # pair-work scales as N^2/cells; 8 was undersized at sf0.1
 _SEMDEDUP_TAU = 0.45  # natural corpus max cosine is ~0.51 -> nontrivial drops
 
 

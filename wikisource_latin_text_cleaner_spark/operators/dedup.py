@@ -888,24 +888,35 @@ def semdedup(
     if centroids is None:
         centroids = train_ivf_centroids(df, n_cells=n_cells, vec_col=vec_col)
     cell_udf = make_cell_udf(centroids)
-    cells = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("cell", cell_udf("v"))
+    norm = F.sqrt(F.aggregate(
+        F.transform("v", lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    # norms are computed ONCE per vector here (and cached with the cell):
+    # inside the pair join they would be re-evaluated per PAIR, tripling
+    # the per-pair array-aggregate work (5.1s -> 2.7s at sf0.1 together
+    # with a right-sized cell count)
+    cells = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("cell", cell_udf("v"))
+        .withColumn("n", norm)
+    )
     if persist_cells:
         cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
 
-    a = cells.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = cells.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    a = cells.select("cell", F.col("id").alias("id_a"),
+                     F.col("v").alias("v_a"), F.col("n").alias("n_a"))
+    b = cells.select("cell", F.col("id").alias("id_b"),
+                     F.col("v").alias("v_b"), F.col("n").alias("n_b"))
     dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     dropped = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine",
-                    F.round(dot / (norm(F.col("v_a")) * norm(F.col("v_b"))), 6))
+                    F.round(dot / (F.col("n_a") * F.col("n_b")), 6))
         .where(F.col("cosine") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
