@@ -976,10 +976,8 @@ def q_dsir_select(spark, sf):
     with the same rounded weight + tiebreak, and witnesses the selected
     set per lang via count, 2dp avg weight, and sum(doc_id)."""
     d = _docs(spark, sf, spread=True)
-    sel = sampling.dsir_select(
-        d.where(F.col("lang") != _DSIR_TARGET_LANG),
-        d.where(F.col("lang") == _DSIR_TARGET_LANG),
-        frac=_DSIR_FRAC,
+    sel = sampling.dsir_select_split(
+        d, F.col("lang") == _DSIR_TARGET_LANG, frac=_DSIR_FRAC
     )
     return sel.groupBy("lang").agg(
         F.count("*").alias("n_sel"),

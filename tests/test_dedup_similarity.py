@@ -1046,3 +1046,26 @@ def test_temperature_sample_null_strata_dropped_and_validation(spark):
     empty = spark.createDataFrame([(0, None)], "doc_id long, lang string")
     with pytest.raises(ValueError, match="strata"):
         sampling.temperature_sample(empty, "lang")
+
+
+def test_dsir_select_split_is_bit_identical_to_two_frame_form(spark):
+    """The one-pass predicate-split variant must select the IDENTICAL rows
+    with IDENTICAL weights (exact integer counts -> same matrices), and
+    NULL-condition rows must join neither side."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    rows = [(i, ("english common words here number %d" % i)
+             if i % 3 else ("verba latina posita sunt numero %d" % i),
+             "en" if i % 3 else "la") for i in range(60)]
+    rows.append((60, "orphan row with null lang", None))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    cond = F.col("lang") == "en"
+    split = sorted((r.doc_id, r.dsir_w) for r in
+                   sampling.dsir_select_split(df, cond, k=7).collect())
+    two = sorted((r.doc_id, r.dsir_w) for r in
+                 sampling.dsir_select(
+                     df.where(~cond), df.where(cond), k=7).collect())
+    assert split == two
+    assert all(i != 60 for i, _ in split)
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.dsir_select_split(df, F.lit(True), k=2)

@@ -227,9 +227,57 @@ def dsir_select(
     No reference precedent; task-brief scope (quality-filter data
     selection at corpus scale).
     """
+    from ..functions.lm import train_char_bigram_lm
+
+    delta = np.ascontiguousarray(
+        train_char_bigram_lm(target, text_col=text_col)
+        - train_char_bigram_lm(pool, text_col=text_col)
+    )
+    return _dsir_topk(pool, delta, frac, k, text_col, id_col, weight_col)
+
+
+def dsir_select_split(
+    df: DataFrame,
+    target_cond,
+    frac: float = 0.1,
+    k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_w",
+) -> DataFrame:
+    """dsir_select for the common case where target and pool are a
+    PREDICATE split of one corpus: both models train in a SINGLE map pass
+    (functions/lm.py:train_char_bigram_lm_by -- the per-label counts ride
+    one reduce), halving the corpus scans vs training each side
+    separately. Counts are exact integers either way, so the trained
+    matrices -- and therefore the selection -- are bit-identical to
+    dsir_select(df.where(~cond), df.where(cond)); the equivalence test
+    asserts it. Rows where ``target_cond`` is NULL join neither side.
+    """
+    from ..functions.lm import train_char_bigram_lm_by
+
+    cond = F.col(target_cond) if isinstance(target_cond, str) else target_cond
+    labeled = df.withColumn(
+        "_dsir_side", F.when(cond, "t").when(~cond, "p")
+    )
+    models, _ = train_char_bigram_lm_by(
+        labeled, label_col="_dsir_side", text_col=text_col
+    )
+    if set(models) != {"t", "p"}:
+        raise ValueError(
+            f"target_cond must split the corpus into two non-empty sides; "
+            f"saw sides {sorted(models)}"
+        )
+    delta = np.ascontiguousarray(models["t"] - models["p"])
+    return _dsir_topk(
+        df.where(~cond), delta, frac, k, text_col, id_col, weight_col
+    )
+
+
+def _dsir_topk(pool, delta, frac, k, text_col, id_col, weight_col):
+    """Shared DSIR scoring + deterministic top-k (TakeOrderedAndProject)."""
     from pyspark.sql.functions import pandas_udf
 
-    from ..functions.lm import train_char_bigram_lm
     from ..functions.perplexity import _ids
 
     if k is None:
@@ -238,11 +286,6 @@ def dsir_select(
         k = int(np.ceil(frac * pool.count()))
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-
-    delta = np.ascontiguousarray(
-        train_char_bigram_lm(target, text_col=text_col)
-        - train_char_bigram_lm(pool, text_col=text_col)
-    )
 
     @pandas_udf("double")
     def dsir_w(texts: pd.Series) -> pd.Series:
