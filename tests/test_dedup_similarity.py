@@ -1069,3 +1069,38 @@ def test_dsir_select_split_is_bit_identical_to_two_frame_form(spark):
     assert all(i != 60 for i, _ in split)
     with pytest.raises(ValueError, match="non-empty"):
         sampling.dsir_select_split(df, F.lit(True), k=2)
+
+
+def test_dsir_gumbel_resampling_deterministic_and_weight_biased(spark):
+    """Gumbel-top-k draw: reproducible under repartitioning, reduces to
+    plain top-k as temp -> 0, and still favors high-weight docs at
+    moderate temp (picks more target-like than anti-target docs)."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    rows = [(i, ("the quick brown fox and the lazy dog %d" % i)
+             if i < 30 else ("zxqv kjht wpfg mzxn qqrt bbvc %d" % i),
+             i < 30) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    # target model: english-like; pool: all 60 (both text shapes)
+    target = df.where("is_t").select("doc_id", "text")
+    pool = df.select("doc_id", "text")
+
+    g1 = {r.doc_id for r in sampling.dsir_select(
+        pool, target, k=15, gumbel_temp=50.0).collect()}
+    g2 = {r.doc_id for r in sampling.dsir_select(
+        pool.repartition(13), target, k=15, gumbel_temp=50.0).collect()}
+    assert g1 == g2, "derandomized draw must not depend on partitioning"
+
+    plain = sorted(r.dsir_w for r in sampling.dsir_select(
+        pool, target, k=15).collect())
+    cold = sorted(r.dsir_w for r in sampling.dsir_select(
+        pool, target, k=15, gumbel_temp=1e-6).collect())
+    # temp -> 0 recovers plain top-k up to ties in the 6dp weight (equal
+    # weights are interchangeable under gumbel tie-breaking)
+    assert cold == plain
+
+    n_target_like = sum(1 for i in g1 if i < 30)
+    assert n_target_like > 10, (n_target_like, g1)
+
+    with pytest.raises(ValueError, match="gumbel_temp"):
+        sampling.dsir_select(pool, target, k=5, gumbel_temp=0.0)

@@ -202,6 +202,7 @@ def dsir_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     weight_col: str = "dsir_w",
+    gumbel_temp: float | None = None,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for Language
     Models via Importance Resampling"): train one n-gram bag model on the
@@ -233,7 +234,8 @@ def dsir_select(
         train_char_bigram_lm(target, text_col=text_col)
         - train_char_bigram_lm(pool, text_col=text_col)
     )
-    return _dsir_topk(pool, delta, frac, k, text_col, id_col, weight_col)
+    return _dsir_topk(pool, delta, frac, k, text_col, id_col, weight_col,
+                      gumbel_temp)
 
 
 def dsir_select_split(
@@ -244,6 +246,7 @@ def dsir_select_split(
     text_col: str = "text",
     id_col: str = "doc_id",
     weight_col: str = "dsir_w",
+    gumbel_temp: float | None = None,
 ) -> DataFrame:
     """dsir_select for the common case where target and pool are a
     PREDICATE split of one corpus: both models train in a SINGLE map pass
@@ -270,12 +273,22 @@ def dsir_select_split(
         )
     delta = np.ascontiguousarray(models["t"] - models["p"])
     return _dsir_topk(
-        df.where(~cond), delta, frac, k, text_col, id_col, weight_col
+        df.where(~cond), delta, frac, k, text_col, id_col, weight_col,
+        gumbel_temp,
     )
 
 
-def _dsir_topk(pool, delta, frac, k, text_col, id_col, weight_col):
-    """Shared DSIR scoring + deterministic top-k (TakeOrderedAndProject)."""
+def _dsir_topk(pool, delta, frac, k, text_col, id_col, weight_col,
+               gumbel_temp=None):
+    """Shared DSIR scoring + deterministic top-k (TakeOrderedAndProject).
+
+    ``gumbel_temp`` switches from plain top-k to the paper's
+    sampling-without-replacement: top-k of (w/temp + Gumbel noise) draws k
+    docs from softmax(w/temp) (the Gumbel-top-k identity). The noise is
+    derandomized -- g = -ln(-ln(u)) with u = (md5_bucket(id)+0.5)/buckets
+    -- so the draw is reproducible across runs, engines, and cluster
+    sizes, exactly like every other sampler here. temp -> 0 recovers
+    plain top-k; larger temp flattens toward uniform."""
     from pyspark.sql.functions import pandas_udf
 
     from ..functions.perplexity import _ids
@@ -298,10 +311,21 @@ def _dsir_topk(pool, delta, frac, k, text_col, id_col, weight_col):
             out[i] = np.round(delta[ids[:-1], ids[1:]].sum(), 6)
         return pd.Series(out)
 
+    scored = pool.withColumn(weight_col, dsir_w(F.col(text_col)))
+    if gumbel_temp is None:
+        return (
+            scored.orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    if gumbel_temp <= 0:
+        raise ValueError(f"gumbel_temp must be positive, got {gumbel_temp}")
+    u = (split_bucket_col(F.col(id_col)) + F.lit(0.5)) / SPLIT_BUCKETS
+    key = F.round(F.col(weight_col) / gumbel_temp - F.log(-F.log(u)), 6)
     return (
-        pool.withColumn(weight_col, dsir_w(F.col(text_col)))
-        .orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+        scored.withColumn("_dsir_key", key)
+        .orderBy(F.col("_dsir_key").desc(), F.col(id_col).asc())
         .limit(k)
+        .drop("_dsir_key")
     )
 
 
