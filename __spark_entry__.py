@@ -920,6 +920,28 @@ def q_semdedup(spark, sf):
     )
 
 
+def q_exact_span_dedup(spark, sf):
+    """Lee et al. 2021 ExactSubstr span removal (operators/dedup.py:
+    exact_span_dedup): every duplicated 13-word window loses all
+    occurrences but the globally first; overlapping windows merge into
+    block removals. Witness per lang: doc count, total words removed, and
+    a digest over the per-doc md5 of the surviving word stream -- any
+    divergence in window detection, keep-first choice, interval merging,
+    or rebuild shows as a digest mismatch. Oracle re-derives the whole
+    thing in SQL (window ranks for keep-first, NOT EXISTS for coverage,
+    ordered string_agg rebuild)."""
+    d = _docs(spark, sf, spread=True)
+    out = dedup.exact_span_dedup(d, g=13)
+    per = out.select(
+        "lang", F.md5("kept_text").alias("h"), "n_removed_words"
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_removed_words").alias("words_removed"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("h")))).alias("digest"),
+    )
+
+
 _TEMP_ALPHA = 0.5
 
 
@@ -1052,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid_confusion": q_nb_langid,
         "ccnet_ppx_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
+        "exact_span_dedup": q_exact_span_dedup,
     }
 
 
@@ -3006,6 +3029,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vec_id) AS BIGINT) AS id_sum
             FROM v WHERE vec_id NOT IN (SELECT id_b FROM dropped)
             GROUP BY label
+        """,
+        "exact_span_dedup": """
+            -- ExactSubstr re-derivation: md5 window keys, keep-first by
+            -- (doc_id, pos) window rank, NOT EXISTS coverage test,
+            -- ordered string_agg rebuild, digest over per-doc md5s
+            WITH w AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '\\w+') AS ws
+              FROM documents
+            ),
+            occ AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                     md5(array_to_string(
+                       ws[CAST(u.i AS INT):CAST(u.i AS INT) + 12], ' ')) AS key
+              FROM w, UNNEST(range(1, greatest(len(ws) - 11, 1))) AS u(i)
+            ),
+            ranked AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY key) AS c,
+                     row_number() OVER (PARTITION BY key
+                                        ORDER BY doc_id, pos) AS rn
+              FROM occ
+            ),
+            marked AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+            wp AS (
+              SELECT doc_id, lang, ws[CAST(u.i AS INT)] AS word,
+                     CAST(u.i AS BIGINT) AS i
+              FROM w, UNNEST(range(1, len(ws) + 1)) AS u(i)
+            ),
+            kept AS (
+              SELECT wp.doc_id, wp.word, wp.i
+              FROM wp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM marked m
+                WHERE m.doc_id = wp.doc_id
+                  AND m.pos <= wp.i AND wp.i < m.pos + 13)
+            ),
+            rebuilt AS (
+              SELECT w.doc_id, w.lang,
+                     coalesce(string_agg(k.word, ' ' ORDER BY k.i), '')
+                       AS kept_text,
+                     len(w.ws) - count(k.word) AS n_removed
+              FROM w LEFT JOIN kept k ON k.doc_id = w.doc_id
+              GROUP BY w.doc_id, w.lang, len(w.ws)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_removed) AS BIGINT) AS words_removed,
+                   md5(string_agg(md5(kept_text), '|'
+                                  ORDER BY md5(kept_text))) AS digest
+            FROM rebuilt GROUP BY lang
         """,
         "temperature_mix": f"""
             -- alpha-mixing re-derivation: per-lang counts -> boost

@@ -76,6 +76,7 @@ HEADLINE = (
     # and DSIR importance-resampling selection (two LM trainings + top-k)
     "semdedup_survivors",
     "dsir_select",
+    "exact_span_dedup",
 )
 
 

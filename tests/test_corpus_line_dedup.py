@@ -141,3 +141,80 @@ def test_plan_broadcasts_heavy_set_and_is_python_free(spark, docs_df):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# --- exact duplicated-span removal (Lee et al. 2021) -----------------------
+
+def _span_dedup_py(rows, g):
+    """From-scratch ExactSubstr oracle over the \\w+ lowercase stream."""
+    import re
+    from collections import defaultdict
+
+    toks = {i: re.findall(r"\w+", (t or "").lower()) for i, t in rows}
+    occs = defaultdict(list)
+    for i in sorted(toks):
+        w = toks[i]
+        for p in range(len(w) - g + 1):
+            occs[" ".join(w[p:p + g])].append((i, p))
+    marked = defaultdict(set)
+    for key, lst in occs.items():
+        if len(lst) > 1:
+            for (i, p) in sorted(lst)[1:]:
+                marked[i].update(range(p, p + g))
+    out = {}
+    for i, w in toks.items():
+        kept = [x for j, x in enumerate(w) if j not in marked[i]]
+        out[i] = (" ".join(kept), len(w) - len(kept))
+    return out
+
+
+def test_exact_span_dedup_matches_python_oracle(spark):
+    """Planted shared passage + within-doc repeat + random fillers: keep
+    first occurrence globally, remove the rest, exact word counts."""
+    from wikisource_latin_text_cleaner_spark.operators import dedup
+    import random
+
+    rng = random.Random(5)
+    vocab = ["w%03d" % i for i in range(150)]
+    passage = " ".join(rng.choice(vocab) for _ in range(20))
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(20)]
+    rows += [
+        (20, f"start filler words {passage} end bits"),
+        (21, f"{passage} trailing other text here now"),
+        (22, f"{passage} middle junk {passage}"),
+        (23, "tiny doc"),
+        (24, ""),
+        (25, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.kept_text, r.n_removed_words)
+           for r in dedup.exact_span_dedup(df, g=13).collect()}
+    want = _span_dedup_py(rows, 13)
+    assert got == want
+    assert got[20][1] == 0, "globally first copy survives"
+    assert got[21][1] >= 20 and got[22][1] >= 40, "later copies removed"
+    assert got[23] == ("tiny doc", 0) and got[24] == ("", 0) and got[25] == ("", 0)
+
+
+def test_exact_span_dedup_persist_explodes_once(spark, tmp_path):
+    """The exploded window frame feeds both the key stats and the
+    join-back; persisted (default) the corpus explodes once."""
+    from wikisource_latin_text_cleaner_spark.operators import dedup
+
+    rows = [(i, " ".join("tok%d%d" % (i % 4, j) for j in range(30)))
+            for i in range(40)]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    d = spark.read.parquet(path)
+    out_n = dedup.exact_span_dedup(d, persist=False)
+    plan_n = out_n._jdf.queryExecution().executedPlan().toString()
+    out_p = dedup.exact_span_dedup(d, persist=True)
+    plan_p = out_p._jdf.queryExecution().executedPlan().toString()
+    assert plan_p.count("InMemoryTableScan") >= 2, plan_p
+    assert "InMemoryTableScan" not in plan_n
+    rows_p = sorted((r.doc_id, r.kept_text, r.n_removed_words) for r in out_p.collect())
+    rows_n = sorted((r.doc_id, r.kept_text, r.n_removed_words) for r in out_n.collect())
+    assert rows_p == rows_n
+    with pytest.raises(ValueError, match="g must be"):
+        dedup.exact_span_dedup(d, g=1)

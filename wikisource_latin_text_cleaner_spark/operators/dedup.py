@@ -922,3 +922,113 @@ def semdedup(
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+# -- exact duplicated-span removal (Lee et al. 2021, ExactSubstr) -----------
+
+def exact_span_dedup(
+    df: DataFrame,
+    g: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Corpus-wide exact duplicated-SPAN removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every g-word window that occurs more than once anywhere
+    in the corpus is a duplicated span; all occurrences EXCEPT the
+    globally first (smallest (doc_id, pos)) are removed from their
+    documents. Overlapping duplicate windows union into one removed span,
+    so a repeated 40-word passage disappears as a block from every copy
+    but the first.
+
+    Output adds two columns: ``kept_text`` -- the surviving word stream
+    (the operator is defined over the \\w+ lowercase token stream, the
+    same normalization the decontamination gate uses, so punctuation /
+    casing / spacing are NOT preserved; Lee et al. likewise operate on
+    the token stream) -- and ``n_removed_words``. Rows keep all original
+    columns; docs shorter than g words are untouched by construction.
+
+    The reference has no corpus-level operators; task-brief scope. Scale
+    shape mirrors corpus_line_dedup: one explode to (doc, pos, md5(gram))
+    -- n_words rows per doc, the inherent cost of substring-level dedup
+    without a monolithic suffix array -- one shuffle to count keys +
+    locate the global first occurrence (map-side partial agg), a join
+    back on the key restricted to duplicated keys, and an AFFECTED-ONLY
+    rebuild: the marked-starts frame joins inner, so untouched documents
+    never pass through the rebuild projection. The exploded frame is
+    persisted (default) because it feeds both the key stats and the
+    join-back -- unpersisted, the corpus is exploded twice.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if g < 2:
+        raise ValueError(f"g must be >= 2, got {g}")
+    words = F.coalesce(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), F.lit(0)),
+        F.array().cast("array<string>"),
+    )
+    toks = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+
+    occ = (
+        toks.where(F.size("_w") >= g)
+        .select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - (g - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice("_w", i, g))).alias("key"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("_id", F.col("o.pos").alias("pos"), F.col("o.key").alias("key"))
+    )
+    if persist:
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+
+    dup_keys = (
+        occ.groupBy("key")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.struct(F.col("_id"), F.col("pos"))).alias("first"),
+        )
+        .where(F.col("c") > 1)
+    )
+    starts = (
+        occ.join(dup_keys, "key")
+        .where(F.struct(F.col("_id"), F.col("pos")) != F.col("first"))
+        .groupBy("_id")
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+
+    base = df.withColumn("_w", words)
+    touched = (
+        base.join(starts, base[id_col] == starts["_id"], "inner")
+        .withColumn(
+            "_kept",
+            F.filter(
+                "_w",
+                lambda x, i: ~F.exists(
+                    "_starts",
+                    lambda s: (s <= i + 1) & (i + 1 < s + g),
+                ),
+            ),
+        )
+        .select(
+            *df.columns,
+            F.concat_ws(" ", "_kept").alias("kept_text"),
+            (F.size("_w") - F.size("_kept")).alias("n_removed_words"),
+        )
+    )
+    untouched = (
+        base.join(starts, base[id_col] == starts["_id"], "left_anti")
+        .select(
+            *df.columns,
+            F.concat_ws(" ", "_w").alias("kept_text"),
+            F.lit(0).alias("n_removed_words"),
+        )
+    )
+    return untouched.unionByName(touched)
