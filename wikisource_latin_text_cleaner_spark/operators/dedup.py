@@ -1003,6 +1003,11 @@ def exact_span_dedup(
         .groupBy("_id")
         .agg(F.collect_set("pos").alias("_starts"))
     )
+    if persist:
+        # feeds BOTH union branches (inner rebuild + left_anti passthrough);
+        # AQE compiles them independently, so without this the key-stats
+        # join + collect_set run twice (plan test counts the collect_set)
+        starts = starts.persist(StorageLevel.MEMORY_AND_DISK)
 
     base = df.withColumn("_w", words)
     touched = (
