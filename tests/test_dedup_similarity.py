@@ -1067,8 +1067,18 @@ def test_dsir_select_split_is_bit_identical_to_two_frame_form(spark):
                      df.where(~cond), df.where(cond), k=7).collect())
     assert split == two
     assert all(i != 60 for i, _ in split)
+    # frac path: k derives from the pool-doc count that rode the training
+    # reduce -- must equal the two-frame form's separate count() exactly
+    split_f = sorted((r.doc_id, r.dsir_w) for r in
+                     sampling.dsir_select_split(df, cond, frac=0.3).collect())
+    two_f = sorted((r.doc_id, r.dsir_w) for r in
+                   sampling.dsir_select(
+                       df.where(~cond), df.where(cond), frac=0.3).collect())
+    assert split_f == two_f and len(split_f) > 0
     with pytest.raises(ValueError, match="non-empty"):
         sampling.dsir_select_split(df, F.lit(True), k=2)
+    with pytest.raises(ValueError, match="frac"):
+        sampling.dsir_select_split(df, cond, frac=0.0)
 
 
 def test_dsir_gumbel_resampling_deterministic_and_weight_biased(spark):

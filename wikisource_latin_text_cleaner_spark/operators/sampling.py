@@ -263,8 +263,9 @@ def dsir_select_split(
     labeled = df.withColumn(
         "_dsir_side", F.when(cond, "t").when(~cond, "p")
     )
-    models, _ = train_char_bigram_lm_by(
-        labeled, label_col="_dsir_side", text_col=text_col
+    models, _, n_docs = train_char_bigram_lm_by(
+        labeled, label_col="_dsir_side", text_col=text_col,
+        return_counts=True,
     )
     if set(models) != {"t", "p"}:
         raise ValueError(
@@ -272,6 +273,10 @@ def dsir_select_split(
             f"saw sides {sorted(models)}"
         )
     delta = np.ascontiguousarray(models["t"] - models["p"])
+    if k is None:
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(f"frac must be in (0, 1], got {frac}")
+        k = int(np.ceil(frac * n_docs["p"]))  # counted during training
     return _dsir_topk(
         df.where(~cond), delta, frac, k, text_col, id_col, weight_col,
         gumbel_temp,
