@@ -1008,6 +1008,183 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_gopher_quality_gate(spark, sf):
+    """Gopher document-quality rule battery (Rae et al. 2021 sec. A1.1;
+    functions/quality.py:gopher_first_fail): word-count bounds, mean-word-
+    length bounds, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, distinct-stopword minimum. Per doc the FIRST
+    failing rule in paper order (NULL -> 'keep'); the report is the verdict
+    histogram with mean word count. One fused Catalyst projection, no
+    Python, no shuffle beyond the final tiny groupBy; the oracle re-derives
+    every rule and the first-fail ladder in SQL."""
+    d = _docs(spark, sf, spread=True)
+    ff = quality.gopher_first_fail(F.col("text"))
+    return (
+        d.select(
+            F.coalesce(ff, F.lit("keep")).alias("verdict"),
+            quality.n_words(F.col("text")).alias("nw"),
+        )
+        .groupBy("verdict")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nw"), 4).alias("avg_words"),
+        )
+    )
+
+
+def q_gopher_repetition(spark, sf):
+    """Gopher repetition battery (Rae et al. 2021 table A1; functions/
+    quality.py:top_ngram_char_fraction / dup_ngram_char_fraction): per-lang
+    averages of the top-{2,3,4}-gram and duplicated-{5,10}-gram character
+    fractions plus the count of docs tripping ANY of the paper's nine
+    thresholds. Every fraction is an O(L log L) sort+fold inside
+    whole-stage codegen; the oracle re-derives all nine metrics via
+    UNNEST + window argmax in SQL, so a tie-break or guard divergence
+    surfaces as a value mismatch."""
+    d = _docs(spark, sf, spread=True)
+    t = F.col("text")
+    return d.groupBy("lang").agg(
+        F.round(F.avg(quality.top_ngram_char_fraction(t, 2)), 6).alias("avg_top2"),
+        F.round(F.avg(quality.top_ngram_char_fraction(t, 3)), 6).alias("avg_top3"),
+        F.round(F.avg(quality.top_ngram_char_fraction(t, 4)), 6).alias("avg_top4"),
+        F.round(F.avg(quality.dup_ngram_char_fraction(t, 5)), 6).alias("avg_dup5"),
+        F.round(F.avg(quality.dup_ngram_char_fraction(t, 10)), 6).alias("avg_dup10"),
+        F.sum(quality.gopher_repetition_flag(t).cast("long")).alias("n_flagged"),
+    )
+
+
+_C4_MIN_LINES = 3
+
+
+def _c4_synth_text() -> F.Column:
+    """The sf* docs are single-line and punctuation-free, so (like
+    _synth_multiline_docs) the C4 query plants its own 5-line page in BOTH
+    engines: a terminal-punct line (kept), a javascript notice on ids % 3
+    (line-dropped), a 2-word no-punct line (dropped), a doc-poison line on
+    ids % 7 / % 11 (lorem ipsum / code brace -> whole doc dropped) else a
+    kept footer, and a trailing '?' line whose word count depends on the
+    doc length."""
+    line1 = F.concat(F.substring("text", 1, 40), F.lit("."))
+    line2 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("Please enable JavaScript to continue."),
+    ).otherwise(F.concat(F.substring("text", 41, 40), F.lit("!")))
+    line4 = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("Lorem ipsum dolor sit amet."))
+        .when(F.col("doc_id") % 11 == 0, F.lit("function(){ return 1; }"))
+        .otherwise(F.lit("All rights reserved."))
+    )
+    line5 = F.concat(F.substring("text", 81, 40), F.lit("?"))
+    return F.concat_ws("\n", line1, line2, F.lit("Click here"), line4, line5)
+
+
+def q_c4_line_filter(spark, sf):
+    """C4 line-level cleaning + doc gates (Raffel et al. 2020 sec. 2.2;
+    functions/quality.py:c4_line_clean / c4_doc_poisoned): keep lines with
+    terminal punctuation, >= 3 words, and no 'javascript'; drop whole docs
+    containing 'lorem ipsum' or '{' or with < 3 surviving lines. Witness
+    per lang: poison/short/clean counts, surviving line total, and an md5
+    digest over the cleaned texts of clean docs -- any divergence in line
+    predicates or rejoining shows as a digest mismatch."""
+    d = _docs(spark, sf, spread=True)
+    synth = d.select("doc_id", "lang", _c4_synth_text().alias("text"))
+    res = synth.select(
+        "lang",
+        quality.c4_doc_poisoned(F.col("text")).alias("poisoned"),
+        quality.c4_line_clean(F.col("text")).alias("c"),
+    )
+    clean = (~F.col("poisoned")) & (F.col("c.n_kept") >= _C4_MIN_LINES)
+    per = res.select(
+        "lang",
+        "poisoned",
+        F.col("c.n_kept").alias("n_kept"),
+        clean.alias("clean"),
+        F.when(clean, F.md5(F.encode(F.col("c.text"), "utf-8"))).alias("h"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("poisoned").cast("long")).alias("n_poisoned"),
+        F.sum(((~F.col("poisoned")) & (F.col("n_kept") < _C4_MIN_LINES)).cast("long")).alias("n_short"),
+        F.sum(F.col("clean").cast("long")).alias("n_clean"),
+        F.sum(F.when(F.col("clean"), F.col("n_kept")).otherwise(F.lit(0))).alias("kept_lines"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("h")))).alias("digest"),
+    )
+
+
+_PACK_SEQ_LEN = 512
+_PACK_BUCKETS = 8
+
+
+def q_sequence_pack(spark, sf):
+    """Training-sequence packing (operators/sampling.py:sequence_pack):
+    concat-and-split document packing into seq_len=512 windows, dealt into
+    8 md5 buckets (the shard = parallelism unit; packing within a shard is
+    a window cumsum, never a global sort). Witness per bucket: doc count,
+    distinct bins, token total, and an md5 digest over every
+    (doc_id, bin, offset_in_bin) assignment -- the full packing layout must
+    match the oracle's window-cumsum re-derivation exactly."""
+    d = _docs(spark, sf, spread=True)
+    toks = d.select(
+        "doc_id", textstats.token_count_col(F.col("text")).alias("n_tokens")
+    )
+    packed = sampling.sequence_pack(
+        toks, seq_len=_PACK_SEQ_LEN, n_buckets=_PACK_BUCKETS
+    )
+    return packed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("bin").alias("n_bins"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_list(F.concat_ws(":", "doc_id", "bin", "offset_in_bin"))
+                ),
+            )
+        ).alias("digest"),
+    )
+
+
+def _synth_pii_text() -> F.Column:
+    """Deterministic PII planting (the raw corpus is PII-free): every doc
+    gets a doc_id-derived email; ids % 3 add a tracker URL, % 5 a phone,
+    % 11 a card number, % 7 an IPv4 -- exercising every BATTERY category
+    including the ordering rules (IP/card before the phone/digit passes)."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" see https://tracker.example.com/p/"), did),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 555 0199 2811")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" from 192.168.10.42")).otherwise(F.lit("")),
+    )
+
+
+def q_pii_redact(spark, sf):
+    """PII redaction (functions/pii.py:redact_columns, the Catalyst twin of
+    scrub_pii): the 6-pattern BATTERY applied as chained regexp_replace in
+    order, each pattern counted on the previous stage's output exactly like
+    the Python subn loop. Witness per lang: doc count, total replacements,
+    and an md5 digest over the redacted texts; the oracle replays the same
+    chain with DuckDB regexp_replace(...,'g') from the same generated
+    pattern literals."""
+    d = _docs(spark, sf, spread=True)
+    planted = d.select("lang", _synth_pii_text().alias("text"))
+    red, hits = piix.redact_columns(F.col("text"))
+    per = planted.select(
+        "lang", hits.alias("n_hits"), F.md5(F.encode(red, "utf-8")).alias("h")
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_hits").alias("total_hits"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list("h")))).alias("digest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "size_stats": q_size_stats,
@@ -1075,7 +1252,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppx_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
         "exact_span_dedup": q_exact_span_dedup,
+        "gopher_quality_gate": q_gopher_quality_gate,
+        "gopher_repetition": q_gopher_repetition,
+        "c4_line_filter": q_c4_line_filter,
+        "sequence_pack": q_sequence_pack,
+        "pii_redact": q_pii_redact,
     }
+
+
+def _pii_redact_oracle_sql() -> str:
+    """SQL replay of the BATTERY redaction chain (see q_pii_redact): one
+    CTE per pattern, each counting matches on and rewriting the previous
+    stage's text -- the same progressive semantics as Python subn and the
+    Spark regexp_count/regexp_replace chain. Pattern literals are generated
+    from pii.BATTERY via pii.spark_pattern so all three engines share one
+    source of truth (IGNORECASE becomes inline (?i), understood identically
+    by Python re, Java regex, and RE2)."""
+    stages = []
+    prev = "t0"
+    hit_cols = []
+    for i, (_name, pat, repl) in enumerate(piix.BATTERY, 1):
+        sp = piix.spark_pattern(pat).replace("'", "''")
+        stages.append(
+            f"s{i} AS (SELECT lang,"
+            f" len(regexp_extract_all(text, '{sp}')) AS h{i},"
+            + "".join(f" h{j}," for j in range(1, i))
+            + f" regexp_replace(text, '{sp}', '{repl}', 'g') AS text"
+            f" FROM {prev})"
+        )
+        hit_cols.append(f"h{i}")
+        prev = f"s{i}"
+    hits_expr = " + ".join(hit_cols)
+    stages_sql = ",\n        ".join(stages)
+    return f"""
+        WITH t0 AS (
+          SELECT lang,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' see https://tracker.example.com/p/' || CAST(doc_id AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 0199 2811' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.10.42' ELSE '' END
+                   AS text
+          FROM documents
+        ),
+        {stages_sql}
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum({hits_expr}) AS BIGINT) AS total_hits,
+               md5(array_to_string(list_sort(list(md5(text))), '|')) AS digest
+        FROM {prev} GROUP BY lang
+    """
 
 
 def _bpe_apply_oracle_sql() -> str:
@@ -3598,6 +3825,178 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(s_trim, ' ' ORDER BY sidx)) AS chunk_md5
             FROM packed GROUP BY doc_id, chunk_idx
         """,
+        "gopher_quality_gate": f"""
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS L,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS ws,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x, ' ')),
+                                 x -> x <> '') AS ls
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, len(ws) AS nw,
+                CASE WHEN len(ws) > 0
+                     THEN list_sum(list_transform(ws, x -> length(x) * 1.0)) / len(ws)
+                     ELSE 0.0 END AS mwl,
+                CASE WHEN L > 0
+                     THEN length(regexp_replace(text, '[^#@^*\\\\~|<>=_{{}}]', '', 'g')) * 1.0 / L
+                     ELSE 0.0 END AS sym,
+                CASE WHEN len(ls) > 0
+                     THEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('•', '-', '*'))) * 1.0 / len(ls)
+                     ELSE 0.0 END AS bullet,
+                CASE WHEN len(ls) > 0
+                     THEN len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) * 1.0 / len(ls)
+                     ELSE 0.0 END AS ell,
+                CASE WHEN len(ws) > 0
+                     THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)
+                     ELSE 0.0 END AS alpha,
+                len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                                   {_STOP_SQL})) AS nstop
+              FROM base
+            ),
+            verdicts AS (
+              SELECT CASE
+                WHEN nw < 50 THEN 'too_few_words'
+                WHEN nw > 100000 THEN 'too_many_words'
+                WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
+                WHEN sym > 0.1 THEN 'symbol_ratio'
+                WHEN bullet > 0.9 THEN 'bullet_lines'
+                WHEN ell > 0.3 THEN 'ellipsis_lines'
+                WHEN alpha < 0.8 THEN 'alpha_words'
+                WHEN nstop < 2 THEN 'stopwords'
+                ELSE 'keep' END AS verdict, nw
+              FROM feat
+            )
+            SELECT verdict, count(*) AS n_docs, round(avg(nw), 4) AS avg_words
+            FROM verdicts GROUP BY verdict
+        """,
+        "gopher_repetition": """
+            WITH docs0 AS (
+              SELECT doc_id, lang, length(text) AS L,
+                     regexp_extract_all(lower(text), '\\w+') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, n, g.g
+              FROM docs0,
+                   (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) t(n),
+                   UNNEST(list_transform(range(1, greatest(len(w) - n + 2, 1)),
+                                         i -> array_to_string(w[i:i+n-1], ' '))) AS g(g)
+            ),
+            counts AS (
+              SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY ALL
+            ),
+            top AS (
+              SELECT c.doc_id, c.n, c.c * length(c.g) * 1.0 / d.L AS frac,
+                     row_number() OVER (PARTITION BY c.doc_id, c.n
+                                        ORDER BY c.c DESC, c.g ASC) AS rn
+              FROM counts c JOIN docs0 d USING (doc_id) WHERE d.L > 0
+            ),
+            dupf AS (
+              SELECT c.doc_id, c.n,
+                     sum(CASE WHEN c.c >= 2 THEN c.c * length(c.g) ELSE 0 END)
+                       * 1.0 / any_value(d.L) AS frac
+              FROM counts c JOIN docs0 d USING (doc_id) WHERE d.L > 0
+              GROUP BY c.doc_id, c.n
+            ),
+            metrics AS (
+              SELECT doc_id, 't' || CAST(n AS VARCHAR) AS k, frac FROM top WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, 'd' || CAST(n AS VARCHAR) AS k, frac FROM dupf
+            ),
+            feat AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce(max(CASE WHEN m.k = 't2' THEN m.frac END), 0.0) AS top2,
+                     coalesce(max(CASE WHEN m.k = 't3' THEN m.frac END), 0.0) AS top3,
+                     coalesce(max(CASE WHEN m.k = 't4' THEN m.frac END), 0.0) AS top4,
+                     coalesce(max(CASE WHEN m.k = 'd5' THEN m.frac END), 0.0) AS dup5,
+                     coalesce(max(CASE WHEN m.k = 'd6' THEN m.frac END), 0.0) AS dup6,
+                     coalesce(max(CASE WHEN m.k = 'd7' THEN m.frac END), 0.0) AS dup7,
+                     coalesce(max(CASE WHEN m.k = 'd8' THEN m.frac END), 0.0) AS dup8,
+                     coalesce(max(CASE WHEN m.k = 'd9' THEN m.frac END), 0.0) AS dup9,
+                     coalesce(max(CASE WHEN m.k = 'd10' THEN m.frac END), 0.0) AS dup10
+              FROM docs0 d LEFT JOIN metrics m USING (doc_id)
+              GROUP BY d.doc_id, d.lang
+            )
+            SELECT lang,
+                   round(avg(top2), 6) AS avg_top2,
+                   round(avg(top3), 6) AS avg_top3,
+                   round(avg(top4), 6) AS avg_top4,
+                   round(avg(dup5), 6) AS avg_dup5,
+                   round(avg(dup10), 6) AS avg_dup10,
+                   CAST(sum(CASE WHEN top2 > 0.20 OR top3 > 0.18 OR top4 > 0.16
+                                   OR dup5 > 0.15 OR dup6 > 0.14 OR dup7 > 0.13
+                                   OR dup8 > 0.12 OR dup9 > 0.11 OR dup10 > 0.10
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+            FROM feat GROUP BY lang
+        """,
+        "c4_line_filter": """
+            WITH synth AS (
+              SELECT doc_id, lang,
+                     substr(text, 1, 40) || '.' || chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'Please enable JavaScript to continue.'
+                          ELSE substr(text, 41, 40) || '!' END || chr(10) ||
+                     'Click here' || chr(10) ||
+                     CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet.'
+                          WHEN doc_id % 11 = 0 THEN 'function(){ return 1; }'
+                          ELSE 'All rights reserved.' END || chr(10) ||
+                     substr(text, 81, 40) || '?' AS text
+              FROM documents
+            ),
+            cleaned AS (
+              SELECT lang,
+                     (lower(text) LIKE '%lorem ipsum%' OR lower(text) LIKE '%{%') AS poisoned,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)), x -> trim(x, ' ')),
+                       l -> regexp_matches(l, '[.!?]["'']?$')
+                            AND len(list_filter(string_split_regex(l, '\\s+'),
+                                                x -> x <> '')) >= 3
+                            AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM synth
+            ),
+            per AS (
+              SELECT lang, poisoned, len(kept) AS n_kept,
+                     (NOT poisoned AND len(kept) >= 3) AS clean,
+                     CASE WHEN NOT poisoned AND len(kept) >= 3
+                          THEN md5(array_to_string(kept, chr(10))) END AS h
+              FROM cleaned
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN poisoned THEN 1 ELSE 0 END) AS BIGINT) AS n_poisoned,
+                   CAST(sum(CASE WHEN NOT poisoned AND n_kept < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+                   CAST(sum(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+                   CAST(sum(CASE WHEN clean THEN n_kept ELSE 0 END) AS BIGINT) AS kept_lines,
+                   md5(array_to_string(list_sort(list(h) FILTER (WHERE h IS NOT NULL)), '|')) AS digest
+            FROM per GROUP BY lang
+        """,
+        "sequence_pack": """
+            WITH toks AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 10000 % 8 AS bucket
+              FROM documents
+            ),
+            packed AS (
+              SELECT bucket, doc_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+              FROM toks
+            )
+            SELECT bucket, count(*) AS n_docs,
+                   count(DISTINCT strt // 512) AS n_bins,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(list_sort(list(
+                     CAST(doc_id AS VARCHAR) || ':' ||
+                     CAST(strt // 512 AS VARCHAR) || ':' ||
+                     CAST(strt % 512 AS VARCHAR))), '|')) AS digest
+            FROM packed GROUP BY bucket
+        """,
+        "pii_redact": _pii_redact_oracle_sql(),
     }
 
 

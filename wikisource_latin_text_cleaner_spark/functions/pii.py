@@ -91,3 +91,34 @@ def toxicity_score(text: str) -> float:
     if not words:
         return 0.0
     return sum(1 for w in words if w in TOXICITY_LEXICON) / len(words)
+
+
+def spark_pattern(pat: re.Pattern) -> str:
+    """BATTERY pattern as a Spark/RE2-dialect string: the only Python flag
+    the battery uses is IGNORECASE, expressed inline as (?i) which Java
+    regex, RE2 (DuckDB), and Python all honor identically."""
+    p = pat.pattern
+    if pat.flags & re.IGNORECASE:
+        p = "(?i)" + p
+    return p
+
+
+def redact_columns(col):
+    """Catalyst twin of scrub_pii: returns (redacted_text, n_hits) Columns.
+
+    Chained regexp_replace in BATTERY order over the progressively redacted
+    text -- byte-identical to the Python subn loop because each pattern is
+    counted on, then applied to, the output of the previous stage (URL
+    before the digit rules, exactly as scrub_pii). All JVM-side; the Python
+    function stays the UDF-path twin and the parity test pins them
+    together.
+    """
+    from pyspark.sql import functions as F
+
+    text = col
+    hits = F.lit(0)
+    for _name, pat, repl in BATTERY:
+        p = spark_pattern(pat)
+        hits = hits + F.regexp_count(text, F.lit(p))
+        text = F.regexp_replace(text, p, repl)
+    return text, hits

@@ -144,6 +144,223 @@ def top_bigram_ratio(col) -> Column:
     return F.when(n >= 8, best / (n - 1).cast("double")).otherwise(F.lit(0.0))
 
 
+def word_ngrams(col, n: int) -> Column:
+    """Word n-grams (space-joined, ``\\w+`` tokens of the lowercased text --
+    the same tokenization as top_bigram_ratio / the Python rule twin).
+    Empty array when the document has fewer than ``n`` words; the guard
+    matters because F.sequence(1, m) with m < 1 would produce a *descending*
+    sequence, not an empty one."""
+    w = F.regexp_extract_all(F.lower(col), F.lit(r"\w+"), F.lit(0))
+    m = F.size(w) - F.lit(n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(w, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_fraction(col, n: int) -> Column:
+    """Gopher repetition metric (Rae et al. 2021, table A1): fraction of
+    document characters attributable to the single most frequent word
+    n-gram -- occurrences(top gram) * length(top gram) / length(text).
+    Count ties resolve to the lexicographically smallest gram (sorted fold
+    with a strict ``>`` update, so the first run at the maximum wins),
+    making the value deterministic and oracle-checkable.
+
+    Same O(L log L) sort + single-fold shape as top_bigram_ratio: equal
+    grams become adjacent runs in the sorted array and one pass tracks the
+    best run and its gram, all inside whole-stage codegen.
+    """
+    g = word_ngrams(col, n)
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            F.when(run > acc["best"], x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    st0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"),
+        F.lit(0).alias("best"), F.lit("").alias("bg"),
+    )
+    top = F.aggregate(
+        F.array_sort(g), st0, step,
+        lambda acc: acc["best"] * F.length(acc["bg"]),
+    )
+    return F.when(
+        (F.size(g) > 0) & (F.length(col) > 0), top / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_char_fraction(col, n: int) -> Column:
+    """Gopher repetition metric: fraction of document characters inside
+    word n-grams that occur >= 2 times -- sum(count * length(gram)) over
+    duplicated grams / length(text). Overlapping occurrences each count
+    (the cheap whole-gram accounting, same simplification DataTrove's
+    default config uses); span-exact de-overlapped removal is what
+    operators/dedup.py:exact_span_dedup provides when the goal is editing
+    rather than scoring.
+
+    Sorted fold identical in shape to dup_line_char_fraction: the second
+    member of a run retro-credits the first, later members pay for
+    themselves. O(L log L), codegen-resident.
+    """
+    g = word_ngrams(col, n)
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (
+                acc["dup"]
+                + F.when(
+                    x == acc["prev"],
+                    F.when(acc["run"] == 1, 2.0 * F.length(x)).otherwise(
+                        F.length(x).cast("double")
+                    ),
+                ).otherwise(F.lit(0.0))
+            ).alias("dup"),
+        )
+
+    st0 = F.struct(F.lit("").alias("prev"), F.lit(1).alias("run"), F.lit(0.0).alias("dup"))
+    dup = F.aggregate(F.array_sort(g), st0, step, lambda acc: acc["dup"])
+    return F.when(
+        (F.size(g) > 0) & (F.length(col) > 0), dup / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+
+#: Gopher repetition thresholds (Rae et al. 2021 table A1): a doc is
+#: repetition-flagged when any fraction exceeds its bound.
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_flag(col) -> Column:
+    """True when any Gopher repetition bound is exceeded."""
+    conds = [
+        top_ngram_char_fraction(col, n) > t for n, t in GOPHER_TOP_NGRAM_MAX.items()
+    ] + [
+        dup_ngram_char_fraction(col, n) > t for n, t in GOPHER_DUP_NGRAM_MAX.items()
+    ]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def gopher_first_fail(
+    col,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    stopwords: list[str] | None = None,
+) -> Column:
+    """Gopher document-quality gate (Rae et al. 2021 sec. A1.1): NULL when
+    the document passes every rule, else the name of the FIRST failing rule
+    in the paper's order. All pure Catalyst -- one pass over the words /
+    lines arrays per rule family, no Python.
+
+    The stop-word rule defaults to the engine's corpus-derived STOPWORDS
+    (rules.STOPWORDS) rather than Gopher's 8 English function words so the
+    gate stays discriminative on non-English web text; pass
+    ``stopwords=["the","be","to","of","and","that","have","with"]`` for the
+    paper-exact variant.
+    """
+    stops = sorted(stopwords) if stopwords is not None else STOPWORDS
+    w = words(col)
+    nw = F.size(w)
+    mwl = mean_word_len(col)
+    lines = F.filter(
+        F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    nl = F.size(lines)
+    bullet_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(lines, lambda l: F.substring(l, 1, 1).isin("•", "-", "*"))
+        ) / nl,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.endswith(F.lit("...")) | l.endswith(F.lit("…")),
+            )
+        ) / nl,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nw > 0,
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / nw,
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(w, lambda x: F.lower(x))),
+            F.array([F.lit(s) for s in stops]),
+        )
+    )
+    return (
+        F.when(nw < min_words, F.lit("too_few_words"))
+        .when(nw > max_words, F.lit("too_many_words"))
+        .when((mwl < min_mean_word_len) | (mwl > max_mean_word_len), F.lit("word_length"))
+        .when(symbol_ratio(col) > max_symbol_ratio, F.lit("symbol_ratio"))
+        .when(bullet_frac > max_bullet_line_frac, F.lit("bullet_lines"))
+        .when(ellipsis_frac > max_ellipsis_line_frac, F.lit("ellipsis_lines"))
+        .when(alpha_frac < min_alpha_word_frac, F.lit("alpha_words"))
+        .when(n_stop < min_distinct_stopwords, F.lit("stopwords"))
+    )
+
+
+#: Doc-level C4 poison terms: any occurrence drops the whole document
+#: (Raffel et al. 2020 sec. 2.2 -- "lorem ipsum", code-brace pages).
+C4_DOC_POISON = ("lorem ipsum", "{")
+#: Line-level policy term: lines mentioning javascript are dropped.
+C4_LINE_POISON = "javascript"
+
+
+def c4_line_clean(col, *, min_words_per_line: int = 3) -> Column:
+    """C4 line-level cleaning (Raffel et al. 2020 sec. 2.2) as one Catalyst
+    expression: keep only lines that end in terminal punctuation ([.!?] on
+    the trimmed line, optionally inside a closing quote), carry at least
+    ``min_words_per_line`` whitespace words, and do not mention
+    "javascript". Returns struct(text, n_kept) -- the surviving lines
+    rejoined with newlines plus the kept-line count; the doc-level gates
+    (poison terms, minimum surviving lines) are separate expressions so the
+    caller can count drop reasons.
+    """
+    kept = F.filter(
+        F.transform(F.split(col, r"\n"), lambda l: F.trim(l)),
+        lambda l: l.rlike('[.!?]["\']?$')
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda x: x != F.lit("")))
+            >= min_words_per_line
+        )
+        & ~F.lower(l).contains(C4_LINE_POISON),
+    )
+    return F.struct(
+        F.array_join(kept, "\n").alias("text"), F.size(kept).alias("n_kept")
+    )
+
+
+def c4_doc_poisoned(col) -> Column:
+    """True when the raw document trips a C4 whole-doc poison term."""
+    out = F.lower(col).contains(C4_DOC_POISON[0])
+    for t in C4_DOC_POISON[1:]:
+        out = out | F.lower(col).contains(t)
+    return out
+
+
 def quality_columns(text_col: str = "text") -> dict:
     """Bundle of named quality expressions for select(**)."""
     c = F.col(text_col)

@@ -376,3 +376,48 @@ def temperature_sample(
             F.col(strata_col) == s, int(round(b / top * SPLIT_BUCKETS))
         ).otherwise(threshold)
     return df.where(bucket < threshold)
+
+
+def sequence_pack(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-split training-sequence packing (the GPT-2/3 data layout:
+    documents are concatenated and the stream is chopped into fixed
+    ``seq_len`` windows). Each document is assigned the window its FIRST
+    token lands in: bin = floor(running_token_offset / seq_len).
+
+    Scale design: packing is inherently sequential, so it is made parallel
+    the way production pipelines do -- per SHARD. Documents are dealt into
+    ``n_buckets`` md5 buckets (engine-portable, same idiom as hash_split);
+    within a bucket the concatenation order is ``id_col`` ascending and the
+    running offset is a window cumsum. The shuffle is one hash exchange on
+    uniform keys + a per-bucket sort; no global sort, no driver state, and
+    bucket count is the parallelism dial (at 10^12 docs use n_buckets ~=
+    10-100x executor count). Deterministic across runs and cluster sizes.
+
+    Returns df + (bucket, bin, offset_in_bin) -- offset_in_bin is where the
+    document's first token sits inside its window, which a writer needs to
+    materialize the packed examples.
+    """
+    if seq_len <= 0 or n_buckets <= 0:
+        raise ValueError(f"seq_len and n_buckets must be > 0, got {seq_len}, {n_buckets}")
+    from pyspark.sql import Window
+
+    bucket = split_bucket_col(F.col(id_col)) % n_buckets
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("bucket", bucket)
+    start = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
+    return out.select(
+        "*",
+        F.floor(start / seq_len).cast("long").alias("bin"),
+        (start % seq_len).alias("offset_in_bin"),
+    )
