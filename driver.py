@@ -60,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-url-kw-hits", type=int, default=None,
                    help="drop docs whose URL contains more than this many "
                         "block keywords (omit = gate off)")
+    p.add_argument("--gopher-gate", action="store_true",
+                   help="apply the Gopher document-quality ladder to the "
+                        "cleaned text (drop reason gopher:<rule>)")
+    p.add_argument("--gopher-min-words", type=int, default=50,
+                   help="Gopher gate minimum word count (with --gopher-gate)")
+    p.add_argument("--gopher-repetition", action="store_true",
+                   help="apply the Gopher repetition battery to the cleaned "
+                        "text (drop reason gopher:repetition)")
     p.add_argument("--salt-partitions", type=int, default=0,
                    help="salted-repartition width for domain skew (0 = off)")
     p.add_argument("--buckets", type=int, default=64,
@@ -141,6 +149,11 @@ def main(argv: list[str] | None = None) -> int:
             tuple(args.url_blocklist.split(",")) if args.url_blocklist else None
         ),
         max_url_kw_hits=args.max_url_kw_hits,
+        gopher_gate=args.gopher_gate,
+        gopher_opts=(
+            {"min_words": args.gopher_min_words} if args.gopher_gate else None
+        ),
+        gopher_repetition_gate=args.gopher_repetition,
     )
     if args.url_blocklist_bloom:
         if not args.url_blocklist:

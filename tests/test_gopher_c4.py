@@ -188,3 +188,59 @@ def test_pii_redact_matches_python_scrub(spark):
         want_text, counts = pii.scrub_pii(t)
         assert got[i][0] == want_text, (i, got[i][0], want_text)
         assert got[i][1] == sum(counts.values()), (i, got[i][1], counts)
+
+
+def test_pipeline_gopher_gates_differential(spark):
+    """Gate-on vs gate-off pipeline runs over the same pages: already-
+    dropped rows are untouched, keep=true rows failing the ladder (or the
+    repetition battery) flip with exactly one appended 'gopher:*' reason,
+    and passing rows are byte-identical. Thresholds are tuned so both the
+    dropped and surviving sets are non-empty."""
+    import __spark_entry__ as em
+    from wikisource_latin_text_cleaner_spark.operators.pipeline import (
+        PipelineConfig,
+        QualityFilterPipeline,
+    )
+
+    pages = em._docs_as_pages(em._docs(spark, "/root/testdata/sf0.001"))
+    base_cfg = PipelineConfig(langid=False, classify=False)
+    gate_cfg = PipelineConfig(
+        langid=False,
+        classify=False,
+        gopher_gate=True,
+        gopher_opts={"min_words": 10},
+        gopher_repetition_gate=True,
+    )
+    base = (
+        QualityFilterPipeline(base_cfg)
+        .transform(pages)
+        .select("url", "keep", "drop_reasons", "clean_text")
+    )
+    gated = {
+        r["url"]: r
+        for r in QualityFilterPipeline(gate_cfg).transform(pages).collect()
+    }
+    expect = base.select(
+        "url",
+        "keep",
+        "drop_reasons",
+        quality.gopher_first_fail(F.col("clean_text"), min_words=10).alias("ff"),
+        quality.gopher_repetition_flag(F.col("clean_text")).alias("rep"),
+    ).collect()
+    n_ladder, n_rep = 0, 0
+    for r in expect:
+        g = gated[r["url"]]
+        if not r["keep"]:
+            assert not g["keep"] and g["drop_reasons"] == r["drop_reasons"]
+        elif r["ff"] is not None:
+            assert not g["keep"]
+            assert g["drop_reasons"] == r["drop_reasons"] + ["gopher:" + r["ff"]]
+            n_ladder += 1
+        elif r["rep"]:
+            assert not g["keep"]
+            assert g["drop_reasons"] == r["drop_reasons"] + ["gopher:repetition"]
+            n_rep += 1
+        else:
+            assert g["keep"] and g["drop_reasons"] == r["drop_reasons"]
+    assert n_ladder > 0
+    assert any(g["keep"] for g in gated.values())

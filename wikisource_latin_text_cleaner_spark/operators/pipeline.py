@@ -67,6 +67,18 @@ class PipelineConfig:
     #: drop when more than this many functions.urls.BLOCK_KEYWORDS occur as
     #: substrings of the URL; None (default) = gate off.
     max_url_kw_hits: int | None = None
+    #: opt-in Gopher document-quality ladder (Rae et al. 2021 sec. A1.1)
+    #: over the CLEANED text: keep=true rows failing a rule flip to
+    #: keep=false with drop reason 'gopher:<rule>'. Pure Catalyst, rides
+    #: the same projection as the other gates -- no extra Python stage.
+    gopher_gate: bool = False
+    #: kwargs for quality.gopher_first_fail (threshold tuning per corpus)
+    gopher_opts: dict | None = None
+    #: opt-in Gopher repetition battery (nine top/dup n-gram thresholds)
+    #: over the cleaned text; failing rows get 'gopher:repetition'. Kept
+    #: separate from gopher_gate because it is the one gate whose cost is
+    #: superlinear in doc length (O(L log L) per n) -- enable deliberately.
+    gopher_repetition_gate: bool = False
 
 
 class QualityFilterPipeline:
@@ -105,7 +117,9 @@ class QualityFilterPipeline:
             df = salted_repartition(df, "url", cfg.salt_partitions)
 
         if cfg.fused:
-            return self._apply_url_gate(self._transform_fused(df))
+            return self._apply_quality_gates(
+                self._apply_url_gate(self._transform_fused(df))
+            )
 
         verdict_udf = udfs.make_verdict_udf(cfg.min_size_bytes, cfg.extensions,
                                             rule_metrics=cfg.rule_metrics)
@@ -164,10 +178,49 @@ class QualityFilterPipeline:
             )
         # ref A4 counter: chars removed vs the FINAL clean text (post-PII),
         # so both transform paths report identical numbers
-        return self._apply_url_gate(df.withColumn(
+        return self._apply_quality_gates(self._apply_url_gate(df.withColumn(
             "chars_removed",
             F.col("_n_raw") - F.coalesce(F.length("clean_text"), F.lit(0)),
-        ).drop("_n_raw"))
+        ).drop("_n_raw")))
+
+    def _apply_quality_gates(self, df: DataFrame) -> DataFrame:
+        """Gopher quality/repetition gates over the CLEANED text, applied
+        identically after both transform paths (same discipline as the
+        langid and URL gates: only keep=true rows flip, earlier drop
+        reasons are preserved, dropped rows keep their clean_text for the
+        quarantine sink). clean_text is NULL for already-dropped rows, so
+        the ladder evaluates to NULL there and no reason is appended."""
+        cfg = self.config
+        if not cfg.gopher_gate and not cfg.gopher_repetition_gate:
+            return df
+        from ..functions import quality as _q
+
+        if cfg.gopher_gate:
+            ff = _q.gopher_first_fail(F.col("clean_text"), **(cfg.gopher_opts or {}))
+            gate_fail = F.col("keep") & ff.isNotNull()
+            df = df.withColumn(
+                "drop_reasons",
+                F.when(
+                    gate_fail,
+                    F.array_union(
+                        "drop_reasons",
+                        F.array(F.concat(F.lit("gopher:"), ff)),
+                    ),
+                ).otherwise(F.col("drop_reasons")),
+            ).withColumn("keep", F.col("keep") & ~gate_fail)
+        if cfg.gopher_repetition_gate:
+            rep = _q.gopher_repetition_flag(F.col("clean_text"))
+            gate_fail = F.col("keep") & F.coalesce(rep, F.lit(False))
+            df = df.withColumn(
+                "drop_reasons",
+                F.when(
+                    gate_fail,
+                    F.array_union(
+                        "drop_reasons", F.array(F.lit("gopher:repetition"))
+                    ),
+                ).otherwise(F.col("drop_reasons")),
+            ).withColumn("keep", F.col("keep") & ~gate_fail)
+        return df
 
     def _apply_url_gate(self, df: DataFrame) -> DataFrame:
         """RefinedWeb-style URL gate (domain blocklist + keyword score),
