@@ -877,6 +877,40 @@ def q_nb_langid(spark, sf):
     )
 
 
+def q_quality_distill(spark, sf):
+    """Distilled quality classifier (the DCLM / FineWeb-Edu recipe: label a
+    corpus slice with an expensive teacher, train a cheap fastText-style
+    student, filter at scale with the student). Teacher = the full Gopher
+    rule ladder (quality.gopher_first_fail -> keep/drop); student = the
+    corpus-trained char-bigram NB classifier (lm.train_char_bigram_lm_by on
+    the teacher labels, ONE pass, 2*1601-row collect). Every doc is then
+    re-scored by the student; the report is per-lang teacher-keep /
+    student-keep / agreement counts. At 10^12 docs the teacher runs on a
+    bounded sample and only the (embarrassingly parallel) student scores
+    the full corpus -- here both run everywhere so the oracle can re-derive
+    the WHOLE loop in SQL: the rule ladder, per-label training + priors,
+    per-doc scoring, 6dp argmax, and the agreement counts."""
+    from wikisource_latin_text_cleaner_spark.functions import lm
+
+    d = _docs(spark, sf, spread=True)
+    ff = quality.gopher_first_fail(F.col("text"))
+    labeled = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.when(ff.isNotNull(), F.lit("drop")).otherwise(F.lit("keep")).alias("hlabel"),
+    )
+    models, priors = lm.train_char_bigram_lm_by(labeled, label_col="hlabel")
+    pred = lm.make_nb_classifier_udf(models, priors)
+    scored = labeled.select("lang", "hlabel", pred(F.col("text")).alias("pred"))
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("hlabel") == "keep").cast("long")).alias("n_keep_heur"),
+        F.sum((F.col("pred") == "keep").cast("long")).alias("n_keep_pred"),
+        F.sum((F.col("hlabel") == F.col("pred")).cast("long")).alias("n_agree"),
+    )
+
+
 _SEMDEDUP_CELLS = 16  # pair-work scales as N^2/cells; 8 was undersized at sf0.1
 _SEMDEDUP_TAU = 0.45  # natural corpus max cosine is ~0.51 -> nontrivial drops
 
@@ -1038,18 +1072,39 @@ def q_gopher_repetition(spark, sf):
     averages of the top-{2,3,4}-gram and duplicated-{5,10}-gram character
     fractions plus the count of docs tripping ANY of the paper's nine
     thresholds. Every fraction is an O(L log L) sort+fold inside
-    whole-stage codegen; the oracle re-derives all nine metrics via
-    UNNEST + window argmax in SQL, so a tie-break or guard divergence
-    surfaces as a value mismatch."""
+    whole-stage codegen, materialized ONCE in a projection and reused by
+    both the averages and the flag (inlining the flag's nine fractions
+    into the aggregate re-evaluates the five shared ones -- ~1.5x the
+    work; CollapseProject keeps multi-referenced non-cheap aliases in
+    their own stage). The oracle re-derives all nine metrics via UNNEST +
+    window argmax in SQL, so a tie-break or guard divergence surfaces as
+    a value mismatch."""
     d = _docs(spark, sf, spread=True)
     t = F.col("text")
-    return d.groupBy("lang").agg(
-        F.round(F.avg(quality.top_ngram_char_fraction(t, 2)), 6).alias("avg_top2"),
-        F.round(F.avg(quality.top_ngram_char_fraction(t, 3)), 6).alias("avg_top3"),
-        F.round(F.avg(quality.top_ngram_char_fraction(t, 4)), 6).alias("avg_top4"),
-        F.round(F.avg(quality.dup_ngram_char_fraction(t, 5)), 6).alias("avg_dup5"),
-        F.round(F.avg(quality.dup_ngram_char_fraction(t, 10)), 6).alias("avg_dup10"),
-        F.sum(quality.gopher_repetition_flag(t).cast("long")).alias("n_flagged"),
+    fracs = d.select(
+        "lang",
+        *[
+            quality.top_ngram_char_fraction(t, n).alias(f"top{n}")
+            for n in quality.GOPHER_TOP_NGRAM_MAX
+        ],
+        *[
+            quality.dup_ngram_char_fraction(t, n).alias(f"dup{n}")
+            for n in quality.GOPHER_DUP_NGRAM_MAX
+        ],
+    )
+    conds = [
+        F.col(f"top{n}") > thr for n, thr in quality.GOPHER_TOP_NGRAM_MAX.items()
+    ] + [F.col(f"dup{n}") > thr for n, thr in quality.GOPHER_DUP_NGRAM_MAX.items()]
+    flagged = conds[0]
+    for c in conds[1:]:
+        flagged = flagged | c
+    return fracs.groupBy("lang").agg(
+        F.round(F.avg("top2"), 6).alias("avg_top2"),
+        F.round(F.avg("top3"), 6).alias("avg_top3"),
+        F.round(F.avg("top4"), 6).alias("avg_top4"),
+        F.round(F.avg("dup5"), 6).alias("avg_dup5"),
+        F.round(F.avg("dup10"), 6).alias("avg_dup10"),
+        F.sum(flagged.cast("long")).alias("n_flagged"),
     )
 
 
@@ -1249,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bloom_blocklist": q_bloom_blocklist,
         "nb_langid_confusion": q_nb_langid,
+        "quality_distill": q_quality_distill,
         "ccnet_ppx_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
         "exact_span_dedup": q_exact_span_dedup,
@@ -3433,6 +3489,114 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT true_lang, model_lang AS pred_lang, count(*) AS n_docs
             FROM pred WHERE rn = 1 GROUP BY true_lang, pred_lang
+        """,
+        "quality_distill": f"""
+            -- Distillation re-derivation, end to end: (1) the Gopher rule
+            -- ladder labels every doc keep/drop (the teacher), (2) per-label
+            -- char-bigram models + priors are trained in SQL (the student),
+            -- (3) every doc is re-scored (log-lik + log prior, 6dp round,
+            -- argmax with label-asc tiebreak), (4) per-lang agreement
+            WITH base AS (
+              SELECT doc_id, text, length(text) AS L,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS ws,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x, ' ')),
+                                 x -> x <> '') AS ls
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, len(ws) AS nw,
+                CASE WHEN len(ws) > 0
+                     THEN list_sum(list_transform(ws, x -> length(x) * 1.0)) / len(ws)
+                     ELSE 0.0 END AS mwl,
+                CASE WHEN L > 0
+                     THEN length(regexp_replace(text, '[^#@^*\\\\~|<>=_{{}}]', '', 'g')) * 1.0 / L
+                     ELSE 0.0 END AS sym,
+                CASE WHEN len(ls) > 0
+                     THEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('•', '-', '*'))) * 1.0 / len(ls)
+                     ELSE 0.0 END AS bullet,
+                CASE WHEN len(ls) > 0
+                     THEN len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) * 1.0 / len(ls)
+                     ELSE 0.0 END AS ell,
+                CASE WHEN len(ws) > 0
+                     THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)
+                     ELSE 0.0 END AS alpha,
+                len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                                   {_STOP_SQL})) AS nstop
+              FROM base
+            ),
+            hlab AS (
+              SELECT doc_id, CASE
+                WHEN nw < 50 THEN 'drop'
+                WHEN nw > 100000 THEN 'drop'
+                WHEN mwl < 3.0 OR mwl > 10.0 THEN 'drop'
+                WHEN sym > 0.1 THEN 'drop'
+                WHEN bullet > 0.9 THEN 'drop'
+                WHEN ell > 0.3 THEN 'drop'
+                WHEN alpha < 0.8 THEN 'drop'
+                WHEN nstop < 2 THEN 'drop'
+                ELSE 'keep' END AS hlabel
+              FROM feat
+            ),
+            t AS (
+              SELECT d.doc_id, h.hlabel,
+                     translate(lower(d.text), '123456789', '000000000') AS s,
+                     length(translate(lower(d.text), '123456789', '000000000')) AS n
+              FROM documents d JOIN hlab h USING (doc_id)
+            ),
+            ch AS (
+              SELECT doc_id, hlabel,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
+              FROM t, UNNEST(range(1, CAST(n AS INT))) AS u(i)
+              WHERE n >= 2
+            ),
+            big AS (
+              SELECT doc_id, hlabel,
+                     CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END AS i1,
+                     CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END AS i2
+              FROM ch
+            ),
+            cnt AS (SELECT hlabel, i1, i2, count(*) AS c FROM big
+                    GROUP BY hlabel, i1, i2),
+            rt  AS (SELECT hlabel, i1, sum(c) AS rs FROM cnt GROUP BY hlabel, i1),
+            pri AS (SELECT hlabel, count(*) AS n FROM hlab GROUP BY hlabel),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM pri),
+            ll AS (
+              SELECT b.doc_id, m.hlabel AS model_lab,
+                     sum(ln((COALESCE(c.c, 0) + 1)
+                            / (COALESCE(r.rs, 0) + 40.0))) AS s
+              FROM big b
+              CROSS JOIN pri m
+              LEFT JOIN cnt c ON c.hlabel = m.hlabel AND c.i1 = b.i1
+                             AND c.i2 = b.i2
+              LEFT JOIN rt  r ON r.hlabel = m.hlabel AND r.i1 = b.i1
+              GROUP BY b.doc_id, m.hlabel
+            ),
+            scored AS (
+              SELECT d.doc_id, d.lang, h.hlabel, m.hlabel AS model_lab,
+                     round(COALESCE(ll.s, 0) + ln(m.n / tot.tn), 6) AS score
+              FROM documents d
+              JOIN hlab h USING (doc_id)
+              CROSS JOIN pri m
+              CROSS JOIN tot
+              LEFT JOIN ll ON ll.doc_id = d.doc_id AND ll.model_lab = m.hlabel
+            ),
+            pred AS (
+              SELECT doc_id, lang, hlabel, model_lab,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC,
+                                                 model_lab ASC) AS rn
+              FROM scored
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN hlabel = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_heur,
+                   CAST(sum(CASE WHEN model_lab = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_pred,
+                   CAST(sum(CASE WHEN hlabel = model_lab THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            FROM pred WHERE rn = 1 GROUP BY lang
         """,
         "bloom_blocklist": f"""
             -- Bloom re-derivation: md5 double-hash positions

@@ -77,6 +77,10 @@ HEADLINE = (
     "semdedup_survivors",
     "dsir_select",
     "exact_span_dedup",
+    # added round 3, later still: the Gopher repetition battery — the
+    # heaviest of the fused-Catalyst quality expressions (five O(L log L)
+    # sort+folds per doc), representative of the gate/C4/pack/redact set
+    "gopher_repetition",
 )
 
 
