@@ -994,6 +994,36 @@ def q_temperature_mix(spark, sf):
     )
 
 
+_UNIMAX_EPOCHS = 2
+_UNIMAX_BUDGET_FRAC = 1.3  # >1 so small langs earn full repeat epochs
+
+
+def q_unimax_mix(spark, sf):
+    """UniMax language mixing (Chung et al. 2023; operators/sampling.py:
+    unimax_sample): uniform-share greedy allocation, smallest lang first,
+    each lang capped at max_epochs repeats; budget = floor(1.3 * corpus)
+    at 2 epochs so the four smaller langs land full-epoch-plus-partial
+    (n_copies in {1,2}) while the largest gets a sub-epoch md5-bucket
+    draw. Oracle replays the greedy loop with a recursive CTE over langs
+    ordered (count asc, lang asc) -- identical IEEE double sequence --
+    then the floor/round threshold split and the per-doc bucket test."""
+    import math
+
+    d = _docs(spark, sf, spread=True)
+    total = d.where(F.col("lang").isNotNull()).count()
+    kept = sampling.unimax_sample(
+        d,
+        "lang",
+        budget=int(math.floor(_UNIMAX_BUDGET_FRAC * total)),
+        max_epochs=_UNIMAX_EPOCHS,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_copies").alias("total_copies"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 _BLOOM_M = 512  # deliberately tiny so FALSE POSITIVES occur and must match
 _BLOOM_K = 3
 
@@ -1307,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_distill": q_quality_distill,
         "ccnet_ppx_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
+        "unimax_mix": q_unimax_mix,
         "exact_span_dedup": q_exact_span_dedup,
         "gopher_quality_gate": q_gopher_quality_gate,
         "gopher_repetition": q_gopher_repetition,
@@ -3386,6 +3417,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_kept,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY lang
+        """,
+        "unimax_mix": f"""
+            -- UniMax re-derivation: greedy allocation replayed with a
+            -- recursive CTE over langs ordered (count asc, lang asc) --
+            -- the same IEEE double sequence as the driver loop -- then
+            -- quota -> floor full epochs + round(partial * buckets)
+            -- threshold -> per-doc md5-bucket n_copies
+            WITH RECURSIVE
+            cnt AS (SELECT lang, count(*) AS n FROM documents
+                    WHERE lang IS NOT NULL GROUP BY lang),
+            tot AS (SELECT CAST(floor({_UNIMAX_BUDGET_FRAC} * sum(n))
+                            AS BIGINT) AS b,
+                           count(*) AS k
+                    FROM cnt),
+            ord AS (SELECT lang, n,
+                           row_number() OVER (ORDER BY n ASC, lang ASC) AS rk
+                    FROM cnt),
+            alloc AS (
+              SELECT o.rk, o.lang, o.n,
+                     LEAST({_UNIMAX_EPOCHS} * o.n, tot.b * 1.0 / tot.k)
+                       AS quota,
+                     tot.b * 1.0
+                       - LEAST({_UNIMAX_EPOCHS} * o.n, tot.b * 1.0 / tot.k)
+                       AS rem
+              FROM ord o, tot WHERE o.rk = 1
+              UNION ALL
+              SELECT o.rk, o.lang, o.n,
+                     LEAST({_UNIMAX_EPOCHS} * o.n,
+                           a.rem / (tot.k - o.rk + 1)),
+                     a.rem - LEAST({_UNIMAX_EPOCHS} * o.n,
+                                   a.rem / (tot.k - o.rk + 1))
+              FROM ord o JOIN alloc a ON o.rk = a.rk + 1, tot
+            ),
+            thr AS (SELECT lang, n,
+                           CAST(floor(quota / n) AS BIGINT) AS nfull,
+                           CAST(round((quota / n - floor(quota / n))
+                                      * {sampling.SPLIT_BUCKETS})
+                                AS BIGINT) AS th
+                    FROM alloc),
+            kept AS (
+              SELECT d.doc_id, d.lang,
+                     thr.nfull
+                     + (CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id
+                                  AS VARCHAR)), 1, 8)) AS BIGINT)
+                               % {sampling.SPLIT_BUCKETS} < thr.th
+                        THEN 1 ELSE 0 END) AS n_copies
+              FROM documents d JOIN thr ON d.lang = thr.lang
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_copies) AS BIGINT) AS total_copies,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM kept WHERE n_copies > 0 GROUP BY lang
         """,
         "ccnet_ppx_buckets": f"""
             -- CCNet tiles: frozen-matrix ppx (same kernel as

@@ -1048,6 +1048,97 @@ def test_temperature_sample_null_strata_dropped_and_validation(spark):
         sampling.temperature_sample(empty, "lang")
 
 
+# --- UniMax (budget + epoch cap) mixing ------------------------------------
+
+def _unimax_rows():
+    return ([(i, "big") for i in range(4000)]
+            + [(i + 4000, "mid") for i in range(900)]
+            + [(i + 4900, "small") for i in range(100)])
+
+
+def test_unimax_budget_total_keeps_everything_once(spark):
+    """budget == corpus at 1 epoch: the greedy loop gives every stratum
+    exactly its own size (smaller strata can always absorb their uniform
+    share's leftover), so everything survives with n_copies = 1."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame(_unimax_rows(), "doc_id long, lang string")
+    kept = sampling.unimax_sample(df, "lang", budget=5000, max_epochs=1)
+    assert kept.count() == 5000
+    assert kept.agg(F.min("n_copies"), F.max("n_copies")).first() == (1, 1)
+
+
+def test_unimax_epoch_cap_binds(spark):
+    """budget far above max_epochs * corpus: every stratum caps at
+    max_epochs full repeats and the leftover budget is simply unused."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame(_unimax_rows(), "doc_id long, lang string")
+    kept = sampling.unimax_sample(df, "lang", budget=50000, max_epochs=2)
+    assert kept.count() == 5000
+    assert kept.agg(F.min("n_copies"), F.max("n_copies")).first() == (2, 2)
+
+
+def test_unimax_uniform_share_flows_to_large_strata(spark):
+    """budget=2000 over (4000, 900, 100) at 1 epoch: small and mid fit
+    inside their uniform share and are kept whole; the re-flowed
+    remainder gives big a 1000/4000 partial draw (md5-bucket binomial
+    noise around 1000)."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame(_unimax_rows(), "doc_id long, lang string")
+    kept = sampling.unimax_sample(df, "lang", budget=2000, max_epochs=1)
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["small"] == 100 and got["mid"] == 900
+    frac = 1000 / 4000
+    assert abs(got["big"] - 1000) <= 4 * (4000 * frac * (1 - frac)) ** 0.5
+    assert kept.agg(F.max("n_copies")).first()[0] == 1
+
+
+def test_unimax_partial_epoch_on_top_of_full(spark):
+    """One stratum, budget=2.5x its size at 3 epochs: two full epochs for
+    every doc plus a ~half partial draw -- n_copies in {2, 3} and the
+    copy total lands near the budget."""
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(1000)], "doc_id long, lang string")
+    kept = sampling.unimax_sample(df, "lang", budget=2500, max_epochs=3)
+    assert kept.count() == 1000
+    lo, hi, tot = kept.agg(
+        F.min("n_copies"), F.max("n_copies"), F.sum("n_copies")).first()
+    assert (lo, hi) == (2, 3)
+    assert abs(tot - 2500) <= 4 * (1000 * 0.25) ** 0.5
+
+
+def test_unimax_deterministic_and_partitioning_invariant(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame(_unimax_rows(), "doc_id long, lang string")
+    a = {(r.doc_id, r.n_copies) for r in
+         sampling.unimax_sample(df, "lang", budget=2000).collect()}
+    b = {(r.doc_id, r.n_copies) for r in
+         sampling.unimax_sample(df.repartition(7), "lang", budget=2000).collect()}
+    assert a == b
+
+
+def test_unimax_null_strata_dropped_and_validation(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "a")], "doc_id long, lang string")
+    kept = sampling.unimax_sample(df, "lang", budget=3)
+    assert {r.doc_id for r in kept.collect()} == {0, 2}
+    with pytest.raises(ValueError, match="budget"):
+        sampling.unimax_sample(df, "lang", budget=0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.unimax_sample(df, "lang", budget=10, max_epochs=0)
+    empty = spark.createDataFrame([(0, None)], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="strata"):
+        sampling.unimax_sample(empty, "lang", budget=10)
+
+
 def test_dsir_select_split_is_bit_identical_to_two_frame_form(spark):
     """The one-pass predicate-split variant must select the IDENTICAL rows
     with IDENTICAL weights (exact integer counts -> same matrices), and

@@ -11,6 +11,8 @@ both carry DuckDB oracles in the driver contract.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -376,6 +378,68 @@ def temperature_sample(
             F.col(strata_col) == s, int(round(b / top * SPLIT_BUCKETS))
         ).otherwise(threshold)
     return df.where(bucket < threshold)
+
+
+def unimax_sample(
+    df: DataFrame,
+    strata_col: str,
+    budget: int,
+    max_epochs: int = 1,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax sampling (Chung et al. 2023): allocate a total ``budget``
+    (in documents) across strata so every stratum gets as uniform a share
+    as possible without repeating any stratum more than ``max_epochs``
+    times. Greedy, smallest stratum first: each stratum receives
+    ``min(max_epochs * n_s, remaining / strata_left)``; whatever a small
+    stratum cannot absorb flows to the larger ones. Unlike temperature
+    mixing there is no tail-suppressing exponent -- low-resource strata
+    are never downsampled below their uniform share, and over-allocation
+    is bounded by the epoch cap rather than unbounded repetition.
+
+    A stratum's quota q_s turns into ``floor(q_s / n_s)`` full epochs plus
+    an md5-bucket partial epoch for the fractional remainder (same
+    split_bucket_col kernel as hash_split/temperature_sample: the same
+    rows survive across runs, engines, and cluster sizes, and the draw
+    re-derives in SQL). Returns the kept rows with ``n_copies`` -- the
+    number of times a downstream writer should emit the row (full epochs
+    + 1 inside the partial draw).
+
+    Scale shape: one groupBy(strata).count() collect (n_strata rows), a
+    driver-side greedy loop over n_strata entries, then a pure Catalyst
+    projection + filter -- no corpus shuffle, no RNG, no state. The
+    allocation arithmetic is plain IEEE doubles applied in a fixed order
+    (strata ascending by count, name as tie-break), so the DuckDB oracle
+    replays it bit-for-bit with a recursive CTE.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+        if r["s"] is not None
+    }
+    if not counts:
+        raise ValueError("no non-null strata to sample")
+    order = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    remaining = budget * 1.0
+    full_expr = F.lit(None).cast("long")  # NULL strata keep nothing
+    thr_expr = F.lit(None).cast("long")
+    for i, (s, n) in enumerate(order):
+        quota = min(max_epochs * n, remaining / (len(order) - i))
+        remaining -= quota
+        epochs = quota / n
+        full = math.floor(epochs)
+        th = int(round((epochs - full) * SPLIT_BUCKETS))
+        full_expr = F.when(F.col(strata_col) == s, F.lit(full)).otherwise(full_expr)
+        thr_expr = F.when(F.col(strata_col) == s, F.lit(th)).otherwise(thr_expr)
+    bucket = split_bucket_col(F.col(key_col))
+    n_copies = full_expr + (bucket < thr_expr).cast("long")
+    return df.withColumn("n_copies", n_copies).where(F.col("n_copies") > 0)
 
 
 def sequence_pack(
