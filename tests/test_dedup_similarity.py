@@ -1139,6 +1139,62 @@ def test_unimax_null_strata_dropped_and_validation(spark):
         sampling.unimax_sample(empty, "lang", budget=10)
 
 
+# --- KMV corpus-overlap sketches -------------------------------------------
+
+def test_kmv_overlap_exact_below_k(spark):
+    """Union smaller than k: the sketch IS the union, so the estimate
+    equals the exact Jaccard. A:{0..29}, B:{20..49} -> J = 10/50."""
+    from wikisource_latin_text_cleaner_spark.operators import textstats
+
+    rows = [(i, "a") for i in range(30)] + [(i, "b") for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "item long, grp string")
+    r = textstats.kmv_overlap(df, "grp", F.col("item"), k=256).first()
+    assert (r["ga"], r["gb"]) == ("a", "b")
+    assert r["n_union"] == 50
+    assert r["j_est"] == r["j_exact"] == round(10 / 50, 6)
+
+
+def test_kmv_overlap_estimates_planted_jaccard(spark):
+    """10k-item sets with 50% overlap, k=256: the estimate must land
+    within ~4 standard errors (sigma ~= sqrt(J(1-J)/k)) of truth."""
+    from wikisource_latin_text_cleaner_spark.operators import textstats
+
+    n, shift = 10_000, 5_000
+    rows = [(i, "a") for i in range(n)] + [(i + shift, "b") for i in range(n)]
+    true_j = (n - shift) / (n + shift)
+    df = spark.createDataFrame(rows, "item long, grp string")
+    r = textstats.kmv_overlap(df, "grp", F.col("item"), k=256).first()
+    assert r["j_exact"] == round(true_j, 6)
+    assert abs(r["j_est"] - true_j) <= 4 * (true_j * (1 - true_j) / 256) ** 0.5
+    assert r["n_union"] == n + shift
+
+
+def test_kmv_overlap_prefilter_preserves_estimate(spark):
+    """KMV threshold sampling: keeping only hashes < frac * 2^60 must not
+    change the bottom-k (survivors >> k), so j_est is identical; only the
+    exact-Jaccard denominator shrinks to the surviving union."""
+    from wikisource_latin_text_cleaner_spark.operators import textstats
+
+    n, shift = 10_000, 5_000
+    rows = [(i, "a") for i in range(n)] + [(i + shift, "b") for i in range(n)]
+    df = spark.createDataFrame(rows, "item long, grp string")
+    full = textstats.kmv_overlap(df, "grp", F.col("item"), k=64).first()
+    pre = textstats.kmv_overlap(
+        df, "grp", F.col("item"), k=64, prefilter_frac=0.2).first()
+    assert pre["j_est"] == full["j_est"]
+    assert pre["n_union"] < full["n_union"]
+
+
+def test_kmv_overlap_validation(spark):
+    from wikisource_latin_text_cleaner_spark.operators import textstats
+
+    df = spark.createDataFrame([(0, "a")], "item long, grp string")
+    with pytest.raises(ValueError, match="k must"):
+        textstats.kmv_overlap(df, "grp", F.col("item"), k=0)
+    with pytest.raises(ValueError, match="prefilter_frac"):
+        textstats.kmv_overlap(df, "grp", F.col("item"), prefilter_frac=1.5)
+
+
 def test_dsir_select_split_is_bit_identical_to_two_frame_form(spark):
     """The one-pass predicate-split variant must select the IDENTICAL rows
     with IDENTICAL weights (exact integer counts -> same matrices), and

@@ -120,3 +120,77 @@ def ccnet_ppx_buckets(
         F.round(F.col(ppx_col), 6).asc(), F.col(id_col).asc()
     )
     return df.withColumn(bucket_col, F.ntile(n_buckets).over(w))
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    item_col,
+    k: int = 256,
+    prefilter_frac: float | None = None,
+) -> DataFrame:
+    """Cross-slice overlap audit via KMV (k-minimum-values) sketches
+    (Beyer et al. 2007): for every pair of groups, estimate the Jaccard
+    similarity of their distinct-item sets from the bottom-k md5 hashes,
+    alongside the exact Jaccard for calibration. The estimator is
+    |bottom-k(A ∪ B) ∩ A ∩ B| / min(k, |A ∪ B|) -- the standard KMV
+    form, exact whenever the union is smaller than k.
+
+    ``item_col`` is a Column of the items whose sets are compared (e.g.
+    URLs, shingle keys, document fingerprints). Hashes are the first 15
+    hex chars of md5 (60 uniform bits), so the sketch -- and therefore
+    the estimate -- is deterministic and bit-identical across engines;
+    the driver oracle re-derives it in SQL.
+
+    Scale shape: the only corpus-sized step is the per-(group, hash)
+    distinct, a shuffle on uniform keys with map-side partial
+    aggregation. ``prefilter_frac`` is the 10^12-item dial: keep only
+    hashes below frac * 2^60 BEFORE the distinct (KMV threshold
+    sampling), shrinking the shuffle to ~frac of the distinct items;
+    choose frac so the expected survivors per group stay >> k and the
+    bottom-k is provably unaffected (the k-th minimum of a group with n
+    distinct items concentrates at k/n << frac). The exact-Jaccard
+    column is computed from the same distinct frame and is the one piece
+    that does NOT survive the prefilter -- at the extreme tier drop it
+    and ship the estimate alone (that being the entire point of KMV).
+    The pair/rank stages touch only n_groups^2 * k rows.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if prefilter_frac is not None and not 0.0 < prefilter_frac <= 1.0:
+        raise ValueError(f"prefilter_frac must be in (0, 1], got {prefilter_frac}")
+    from pyspark.sql.window import Window
+
+    h = (
+        F.conv(F.substring(F.md5(item_col.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    hashes = df.where(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), h.alias("h")
+    )
+    if prefilter_frac is not None:
+        hashes = hashes.where(F.col("h") < int(prefilter_frac * (1 << 60)))
+    distinct = hashes.distinct()
+    groups = distinct.select(F.col("g").alias("ga")).distinct()
+    pairs = groups.join(
+        groups.select(F.col("ga").alias("gb")), F.col("ga") < F.col("gb")
+    )
+    tagged = distinct.join(
+        F.broadcast(pairs),
+        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+    )
+    per_hash = tagged.groupBy("ga", "gb", "h").agg(
+        F.max((F.col("g") == F.col("ga")).cast("int")).alias("in_a"),
+        F.max((F.col("g") == F.col("gb")).cast("int")).alias("in_b"),
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    ranked = per_hash.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("ga", "gb").agg(
+        F.round(
+            F.sum(F.when(F.col("rn") <= k, F.col("in_a") * F.col("in_b")).otherwise(0))
+            / F.least(F.lit(k), F.count("*")),
+            6,
+        ).alias("j_est"),
+        F.round(F.sum(F.col("in_a") * F.col("in_b")) / F.count("*"), 6).alias("j_exact"),
+        F.count("*").alias("n_union"),
+    )
