@@ -994,6 +994,22 @@ def q_temperature_mix(spark, sf):
     )
 
 
+_KMV_K = 64  # below the pair-union sizes so the estimator actually estimates
+
+
+def q_corpus_overlap(spark, sf):
+    """Cross-language overlap audit via KMV bottom-k sketches (operators/
+    textstats.py:kmv_overlap, Beyer et al. 2007). Items are
+    floor(doc_id/3) keys -- consecutive ids straddle languages, planting
+    real overlap the corpus text itself doesn't have. Per lang pair: the
+    k=64 sketch Jaccard estimate next to the exact Jaccard (the sketch is
+    md5-deterministic, so the ESTIMATE itself -- not just the truth -- is
+    bit-identical cross-engine and the oracle re-derives both)."""
+    d = _docs(spark, sf, spread=True)
+    item = F.floor(F.col("doc_id") / 3)
+    return textstats.kmv_overlap(d, "lang", item, k=_KMV_K)
+
+
 _UNIMAX_EPOCHS = 2
 _UNIMAX_BUDGET_FRAC = 1.3  # >1 so small langs earn full repeat epochs
 
@@ -1101,33 +1117,17 @@ def q_gopher_repetition(spark, sf):
     quality.py:top_ngram_char_fraction / dup_ngram_char_fraction): per-lang
     averages of the top-{2,3,4}-gram and duplicated-{5,10}-gram character
     fractions plus the count of docs tripping ANY of the paper's nine
-    thresholds. Every fraction is an O(L log L) sort+fold inside
-    whole-stage codegen, materialized ONCE in a projection and reused by
-    both the averages and the flag (inlining the flag's nine fractions
-    into the aggregate re-evaluates the five shared ones -- ~1.5x the
-    work; CollapseProject keeps multi-referenced non-cheap aliases in
-    their own stage). The oracle re-derives all nine metrics via UNNEST +
-    window argmax in SQL, so a tie-break or guard divergence surfaces as
-    a value mismatch."""
+    thresholds. Computed by the Arrow-fused battery UDF
+    (quality.repetition_fracs_udf, one pass for all nine; bit-identical
+    to the Catalyst sort+fold twins by the 3-way parity test, ~25x
+    faster when the whole battery is needed). The oracle re-derives all
+    nine metrics via UNNEST + window argmax in SQL, so a tie-break or
+    guard divergence surfaces as a value mismatch."""
     d = _docs(spark, sf, spread=True)
-    t = F.col("text")
     fracs = d.select(
-        "lang",
-        *[
-            quality.top_ngram_char_fraction(t, n).alias(f"top{n}")
-            for n in quality.GOPHER_TOP_NGRAM_MAX
-        ],
-        *[
-            quality.dup_ngram_char_fraction(t, n).alias(f"dup{n}")
-            for n in quality.GOPHER_DUP_NGRAM_MAX
-        ],
-    )
-    conds = [
-        F.col(f"top{n}") > thr for n, thr in quality.GOPHER_TOP_NGRAM_MAX.items()
-    ] + [F.col(f"dup{n}") > thr for n, thr in quality.GOPHER_DUP_NGRAM_MAX.items()]
-    flagged = conds[0]
-    for c in conds[1:]:
-        flagged = flagged | c
+        "lang", quality.repetition_fracs_udf()(F.col("text")).alias("g")
+    ).select("lang", "g.*")
+    flagged = quality.repetition_flag_from_fracs(F.struct(*quality.REPETITION_FIELDS))
     return fracs.groupBy("lang").agg(
         F.round(F.avg("top2"), 6).alias("avg_top2"),
         F.round(F.avg("top3"), 6).alias("avg_top3"),
@@ -1338,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_ppx_buckets": q_ccnet_buckets,
         "temperature_mix": q_temperature_mix,
         "unimax_mix": q_unimax_mix,
+        "corpus_overlap_kmv": q_corpus_overlap,
         "exact_span_dedup": q_exact_span_dedup,
         "gopher_quality_gate": q_gopher_quality_gate,
         "gopher_repetition": q_gopher_repetition,
@@ -3417,6 +3418,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_kept,
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM kept GROUP BY lang
+        """,
+        "corpus_overlap_kmv": f"""
+            -- KMV re-derivation: distinct (lang, 60-bit md5 hash) of the
+            -- floor(doc_id/3) items, per-pair union tagging, row_number
+            -- rank, bottom-{_KMV_K} estimator next to the exact Jaccard
+            WITH it AS (
+              SELECT DISTINCT lang AS g,
+                     CAST(('0x' || substr(md5(CAST(CAST(floor(doc_id / 3)
+                            AS BIGINT) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+              FROM documents WHERE lang IS NOT NULL
+            ),
+            gs AS (SELECT DISTINCT g FROM it),
+            pairs AS (SELECT a.g AS ga, b.g AS gb
+                      FROM gs a JOIN gs b ON a.g < b.g),
+            tagged AS (SELECT p.ga, p.gb, i.g, i.h
+                       FROM it i JOIN pairs p ON i.g = p.ga OR i.g = p.gb),
+            per_hash AS (
+              SELECT ga, gb, h,
+                     max(CASE WHEN g = ga THEN 1 ELSE 0 END) AS in_a,
+                     max(CASE WHEN g = gb THEN 1 ELSE 0 END) AS in_b
+              FROM tagged GROUP BY ga, gb, h
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY ga, gb
+                                           ORDER BY h) AS rn
+              FROM per_hash
+            )
+            SELECT ga, gb,
+                   round(sum(CASE WHEN rn <= {_KMV_K} THEN in_a * in_b
+                             ELSE 0 END) * 1.0
+                         / LEAST({_KMV_K}, count(*)), 6) AS j_est,
+                   round(sum(in_a * in_b) * 1.0 / count(*), 6) AS j_exact,
+                   count(*) AS n_union
+            FROM ranked GROUP BY ga, gb
         """,
         "unimax_mix": f"""
             -- UniMax re-derivation: greedy allocation replayed with a

@@ -86,6 +86,56 @@ def test_ngram_fractions_randomized_vs_python(spark):
             assert abs(got[i][f"d{n}"] - py_dup_ngram(t, n)) < 1e-9, (i, n)
 
 
+def test_repetition_fracs_udf_three_way_parity(spark):
+    """The Arrow-fused battery (repetition_fracs_udf) must be BIT-identical
+    to the Catalyst fold exprs and the Python twins on every planted edge
+    case plus randomized texts -- exact ==, no tolerance: the UDF replays
+    the fold's tokenization, tie-break, and double-addition order."""
+    rng = random.Random(43)
+    vocab = ["spark", "data", "row", "the", "a", "join", "merge", "scan"]
+    texts = TEXTS + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 80)))
+        for _ in range(40)
+    ] + [None, "你好 世界 你好 世界 你好 世界 ascii token ascii token"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    fused = {
+        r["i"]: r
+        for r in df.select(
+            "i", quality.repetition_fracs_udf()(F.col("text")).alias("g")
+        ).select("i", "g.*").collect()
+    }
+    ns = sorted(quality.GOPHER_TOP_NGRAM_MAX) + sorted(quality.GOPHER_DUP_NGRAM_MAX)
+    expr_cols = ["i"] + [
+        quality.top_ngram_char_fraction(F.col("text"), n).alias(f"top{n}")
+        for n in sorted(quality.GOPHER_TOP_NGRAM_MAX)
+    ] + [
+        quality.dup_ngram_char_fraction(F.col("text"), n).alias(f"dup{n}")
+        for n in sorted(quality.GOPHER_DUP_NGRAM_MAX)
+    ]
+    exprs = {r["i"]: r for r in df.select(*expr_cols).collect()}
+    for i, t in enumerate(texts):
+        for f in quality.REPETITION_FIELDS:
+            assert fused[i][f] == exprs[i][f], (i, f, t)
+        if t:  # python twins (unicode-\w) only match on ascii-word texts
+            if all(ord(c) < 128 for c in t):
+                for n in sorted(quality.GOPHER_TOP_NGRAM_MAX):
+                    assert abs(fused[i][f"top{n}"] - py_top_ngram(t, n)) < 1e-12
+                for n in sorted(quality.GOPHER_DUP_NGRAM_MAX):
+                    assert abs(fused[i][f"dup{n}"] - py_dup_ngram(t, n)) < 1e-12
+    # the flag built from the struct equals the Catalyst flag expr
+    flags = df.select(
+        "i",
+        quality.repetition_flag_from_fracs(
+            quality.repetition_fracs_udf()(F.col("text"))
+        ).alias("fu"),
+        quality.gopher_repetition_flag(F.col("text")).alias("fc"),
+    ).collect()
+    for r in flags:
+        assert bool(r["fu"] or False) == bool(r["fc"] or False), r["i"]
+
+
 def test_gopher_first_fail_rule_order(spark):
     """One planted doc per rule, each failing exactly its rule first; plus a
     doc passing everything. Word counts are kept >= 50 downstream of the

@@ -12,8 +12,13 @@ definition.
 
 from __future__ import annotations
 
+import re
+from collections import Counter
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from . import rules as _rules
 
@@ -245,6 +250,88 @@ def gopher_repetition_flag(col) -> Column:
     ] + [
         dup_ngram_char_fraction(col, n) > t for n, t in GOPHER_DUP_NGRAM_MAX.items()
     ]
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+#: Java-regex-\w tokenization (ASCII [A-Za-z0-9_]) so the Arrow twin
+#: tokenizes EXACTLY like the Catalyst regexp_extract_all('\\w+') exprs
+#: (Python's re.\w is unicode-wide and would diverge on CJK text).
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+_REP_NS_TOP = tuple(sorted(GOPHER_TOP_NGRAM_MAX))
+_REP_NS_DUP = tuple(sorted(GOPHER_DUP_NGRAM_MAX))
+REPETITION_FIELDS = tuple(
+    [f"top{n}" for n in _REP_NS_TOP] + [f"dup{n}" for n in _REP_NS_DUP]
+)
+
+
+def _repetition_fracs_py(t: str | None) -> tuple:
+    """All nine Gopher repetition fractions for one document, O(L) via
+    hashed gram counts. Bit-identical to the Catalyst sort+fold exprs:
+    same tokenization (_TOKEN_RE == Java \\w), same tie-break (the
+    lexicographically smallest gram at the max count), and the dup
+    accumulator replays the fold's EXACT double-addition sequence
+    (2*len on a run's second member, +len per later member, runs in
+    sorted-gram order) so even fp summation matches ULP-for-ULP."""
+    if not t:
+        return (0.0,) * len(REPETITION_FIELDS)
+    length = len(t)
+    ws = _TOKEN_RE.findall(t.lower())
+    out = []
+    for n in _REP_NS_TOP:
+        m = len(ws) - n + 1
+        if m < 1:
+            out.append(0.0)
+            continue
+        c = Counter(" ".join(ws[i : i + n]) for i in range(m))
+        best = max(c.values())
+        bg = min(g for g, cc in c.items() if cc == best)
+        out.append(best * len(bg) / length)
+    for n in _REP_NS_DUP:
+        m = len(ws) - n + 1
+        if m < 1:
+            out.append(0.0)
+            continue
+        c = Counter(" ".join(ws[i : i + n]) for i in range(m))
+        acc = 0.0
+        for g in sorted(g for g, cc in c.items() if cc >= 2):
+            lg = float(len(g))
+            acc += 2.0 * lg
+            for _ in range(c[g] - 2):
+                acc += lg
+        out.append(acc / length)
+    return tuple(out)
+
+
+def repetition_fracs_udf():
+    """Arrow-fused hot path for the full repetition battery: ONE pandas
+    UDF emitting the struct of all nine fractions. The Catalyst exprs
+    (top_ngram_char_fraction / dup_ngram_char_fraction) are the tested
+    reference twins and remain right for computing one or two fractions;
+    evaluating all nine per doc through nested HOF folds runs
+    interpreter-bound (~25x slower at sf0.1 -- the struct-state
+    aggregate defeats codegen), so batteries and the pipeline gate use
+    this instead. The 3-way parity test (UDF vs exprs vs Python twin)
+    pins bit-identical output."""
+    schema = ", ".join(f"{f} double" for f in REPETITION_FIELDS)
+
+    @pandas_udf(schema)
+    def gopher_repetition_fracs(texts: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_repetition_fracs_py(t) for t in texts],
+            columns=list(REPETITION_FIELDS),
+        )
+
+    return gopher_repetition_fracs
+
+
+def repetition_flag_from_fracs(fracs_col) -> Column:
+    """Gopher repetition verdict over a repetition_fracs_udf struct."""
+    conds = [
+        fracs_col[f"top{n}"] > t for n, t in GOPHER_TOP_NGRAM_MAX.items()
+    ] + [fracs_col[f"dup{n}"] > t for n, t in GOPHER_DUP_NGRAM_MAX.items()]
     out = conds[0]
     for c in conds[1:]:
         out = out | c

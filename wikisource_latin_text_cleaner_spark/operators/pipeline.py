@@ -209,7 +209,11 @@ class QualityFilterPipeline:
                 ).otherwise(F.col("drop_reasons")),
             ).withColumn("keep", F.col("keep") & ~gate_fail)
         if cfg.gopher_repetition_gate:
-            rep = _q.gopher_repetition_flag(F.col("clean_text"))
+            # Arrow-fused battery (one UDF for all nine fractions); the
+            # Catalyst fold twin is ~25x slower when all nine are needed
+            rep = _q.repetition_flag_from_fracs(
+                _q.repetition_fracs_udf()(F.col("clean_text"))
+            )
             gate_fail = F.col("keep") & F.coalesce(rep, F.lit(False))
             df = df.withColumn(
                 "drop_reasons",
