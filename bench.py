@@ -77,10 +77,15 @@ HEADLINE = (
     "semdedup_survivors",
     "dsir_select",
     "exact_span_dedup",
-    # added round 3, later still: the Gopher repetition battery — the
-    # heaviest of the fused-Catalyst quality expressions (five O(L log L)
-    # sort+folds per doc), representative of the gate/C4/pack/redact set
+    # added round 3, later still: the Gopher repetition battery
+    # (Arrow-fused nine-fraction UDF), the DCLM-style distilled quality
+    # classifier (teacher labels -> NB training -> full re-score), UniMax
+    # mixing, and the KMV overlap sketch — representative of the final
+    # training-data surface
     "gopher_repetition",
+    "quality_distill",
+    "unimax_mix",
+    "corpus_overlap_kmv",
 )
 
 
