@@ -784,6 +784,88 @@ def q_corpus_line_keep_first(spark, sf):
     )
 
 
+def _synth_domain_lines(d: DataFrame) -> DataFrame:
+    """5-line synthetic pages over (doc_id, source): line 2 is per-SOURCE
+    boilerplate ('Visit <source> portal' on even ids, ~12x per source),
+    line 3 is global boilerplate, and doc_id % 97 plants a corpus-wide but
+    once-per-source banner the per-domain rule must PRESERVE."""
+    line2 = (
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("Visit "), F.col("source"), F.lit(" portal")))
+        .otherwise(F.substring("text", 41, 40))
+    )
+    line4 = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit("Rare global banner"))
+        .when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .otherwise(F.substring("text", 81, 40))
+    )
+    synth = F.concat_ws(
+        "\n", F.substring("text", 1, 40), line2,
+        F.lit("All rights reserved."), line4, F.substring("text", 121, 40),
+    )
+    return d.select("doc_id", "source", synth.alias("text"))
+
+
+def q_domain_line_dedup(spark, sf):
+    """Per-DOMAIN boilerplate line removal (corpus_line_dedup scoped by
+    source, operators/dedup.py): a line is heavy only within its own
+    domain, so the corpus-wide-but-once-per-source 'Rare global banner'
+    survives everywhere while 'Visit <source> portal' (~12x inside each
+    source) is stripped. Same broadcast-heavy-set / rebuild-affected-only
+    plan as corpus_line_dedup, keyed on (scope, md5); the oracle
+    re-derives the per-source rule in SQL and compares rebuilt text per
+    doc by md5."""
+    docs = _synth_domain_lines(_docs(spark, sf))
+    out = dedup.corpus_line_dedup(docs, min_count=3, scope_col="source")
+    return out.select(
+        "doc_id", "source",
+        F.length("text").alias("cleaned_len"),
+        F.md5(F.encode("text", "utf-8")).alias("cleaned_md5"),
+    )
+
+
+def q_incremental_exact(spark, sf):
+    """Snapshot-over-snapshot exact dedup (dedup.incremental_exact_dedup):
+    docs with md5 bucket < 60% play the previously-ingested snapshot,
+    distilled to a 16-byte/doc content-hash ledger; the rest arrive as
+    the new snapshot and dedup against the ledger AND themselves without
+    the prior corpus ever being rescanned. Text is coarsened to its first
+    40 chars so the corpus actually contains collisions (17 cross-snapshot
+    + 2 in-batch at sf0.01). The oracle re-derives ledger + batch-canonical
+    semantics with NOT EXISTS."""
+    d = _docs(spark, sf).select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("text")
+    )
+    bucket = sampling.split_bucket_col(F.col("doc_id"))
+    seen = (
+        d.where(bucket < int(0.6 * sampling.SPLIT_BUCKETS))
+        .select(F.md5(F.encode("text", "utf-8")).alias("content_hash"))
+        .distinct()
+    )
+    new_snap = d.where(bucket >= int(0.6 * sampling.SPLIT_BUCKETS))
+    kept, _ = dedup.incremental_exact_dedup(new_snap, seen)
+    return kept.select("doc_id", "lang")
+
+
+def q_incremental_minhash(spark, sf):
+    """Snapshot-over-snapshot NEAR-dup dedup (incremental_minhash_dedup):
+    the prior snapshot contributes only its 64-long MinHash signature
+    ledger; a new doc is dropped on >= 0.9 signature agreement with any
+    ledger doc (regardless of id order) or with a smaller-id doc of its
+    own batch. Candidates come from LSH band buckets against ledger+batch;
+    the oracle re-derives the signature kernel in SQL (shared
+    _MINHASH_SIG_CTES) and applies the ledger rule ALL-pairs, so a banding
+    recall miss would surface as a row mismatch."""
+    d = _docs(spark, sf, spread=True)
+    bucket = sampling.split_bucket_col(F.col("doc_id"))
+    seen = d.where(bucket < int(0.6 * sampling.SPLIT_BUCKETS)).select(
+        F.col("doc_id").alias("id"), dedup.minhash_udf("text").alias("sig")
+    )
+    new_snap = d.where(bucket >= int(0.6 * sampling.SPLIT_BUCKETS))
+    kept, _ = dedup.incremental_minhash_dedup(new_snap, seen, threshold=0.9)
+    return kept.select("doc_id", "lang")
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1328,6 +1410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_periods": q_classify_periods,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_keep_first": q_corpus_line_keep_first,
+        "domain_line_dedup": q_domain_line_dedup,
+        "incremental_exact": q_incremental_exact,
+        "incremental_minhash": q_incremental_minhash,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -1467,6 +1552,51 @@ def _bpe_apply_oracle_sql() -> str:
         FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang) d
         LEFT JOIN totals t USING (lang)
     """
+
+
+#: Shared DuckDB re-derivation of the char-5-shingle MinHash signature
+#: kernel (rolling polynomial shingle hashes, the 64 affine permutations
+#: including the int64 wraparound the numpy kernel exhibits, Mersenne
+#: floor-mod) -- reused by every minhash-backed oracle below.
+_MINHASH_SIG_CTES = """t AS (
+              SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, CAST((
+                        CAST(unicode(substr(t, CAST(u.i AS INT), 1)) AS HUGEINT) * 1000012000054000108000081::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+1, 1)) AS HUGEINT) * 1000009000027000027::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+2, 1)) AS HUGEINT) * 1000006000009::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+3, 1)) AS HUGEINT) * 1000003::HUGEINT
+                      + CAST(unicode(substr(t, CAST(u.i AS INT)+4, 1)) AS HUGEINT)
+                     ) % 9223372036854775808::HUGEINT AS BIGINT) AS h
+              FROM t, UNNEST(range(1, greatest(n - 3, 1))) AS u(i)
+              WHERE n >= 5
+              UNION ALL
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
+                         j -> CAST(unicode(substr(t, CAST(j AS INT), 1)) AS BIGINT))), 0) AS h
+              FROM t WHERE n < 5
+            ),
+            perms AS (
+              SELECT CAST(p.i AS INT) AS perm,
+                     CAST(([1608637543, 1273642420, 1935803229, 787846415, 996406379, 1201263688, 423734973, 415968277, 670094951, 1914837114, 669991379, 429389015, 249467211, 1972458955, 1572714584, 1433267573, 434285668, 613608296, 893664920, 648061059, 88409750, 242285877, 2018247426, 953477464, 1427830252, 1883569566, 911989542, 3344770, 780932288, 2114032572, 787716373, 504579233, 1306710476, 479546682, 106328086, 30349565, 1855189740, 99052377, 1250819633, 106406363, 480404539, 1717389823, 599121578, 200427520, 1254751708, 2034764476, 1573512144, 999745295, 1958805694, 389151678, 1224821423, 508464062, 857592371, 1642661740, 61136439, 2075460852, 396917568, 2004731385, 199502979, 1545932261, 461901619, 774414983, 732395541, 1934879561])[CAST(p.i AS INT) + 1] AS HUGEINT) AS a,
+                     CAST(([279394470, 56972561, 1927948675, 1899242072, 1999874363, 271820813, 1324556529, 1655351289, 1308306184, 68574553, 419498548, 991681409, 791274835, 1035196507, 1890440558, 787110843, 524150214, 472432043, 2126768636, 1431061255, 147697582, 744595490, 1758017741, 1679592528, 1111451555, 782698033, 698027879, 1096768899, 1338788865, 1826030589, 86191493, 893102645, 200619113, 290770691, 793943861, 134489564, 2016850622, 1470101905, 1181686489, 1931679275, 1887633569, 1697157321, 1695770557, 1832485859, 420477197, 976125790, 1811936047, 1402481934, 380072391, 302554573, 841739990, 89482491, 194249720, 1980718781, 1397283111, 1479761620, 1669356239, 1062231788, 1165435217, 170476398, 1411916852, 372593431, 1532243865, 1998256344])[CAST(p.i AS INT) + 1] AS HUGEINT) AS b
+              FROM UNNEST(range(0, 64)) AS p(i)
+            ),
+            wrapped AS (
+              SELECT s.doc_id, p.perm,
+                     (CAST(s.h AS HUGEINT) * p.a + p.b) % 18446744073709551616::HUGEINT AS w
+              FROM sh s CROSS JOIN perms p
+            ),
+            mins AS (
+              SELECT doc_id, perm, min(CAST(
+                  ((CASE WHEN w >= 9223372036854775808::HUGEINT
+                         THEN w - 18446744073709551616::HUGEINT ELSE w END)
+                   % 2305843009213693951::HUGEINT + 2305843009213693951::HUGEINT)
+                  % 2305843009213693951::HUGEINT AS BIGINT)) AS m
+              FROM wrapped GROUP BY doc_id, perm
+            ),
+            sigs AS (SELECT doc_id, list(m ORDER BY perm) AS sig FROM mins GROUP BY doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1924,6 +2054,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS cleaned_len,
                    md5(text) AS cleaned_md5
             FROM rebuilt
+        """,
+        "domain_line_dedup": r"""
+            -- per-source duplicate-line rule over the same synthesized
+            -- pages: heavy = >= 3 occurrences WITHIN one source
+            WITH synth AS (
+              SELECT doc_id, source,
+                     [ substring(text, 1, 40),
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'Visit ' || source || ' portal'
+                            ELSE substring(text, 41, 40) END,
+                       'All rights reserved.',
+                       CASE WHEN doc_id % 97 = 0 THEN 'Rare global banner'
+                            WHEN doc_id % 5 = 0 THEN ''
+                            ELSE substring(text, 81, 40) END,
+                       substring(text, 121, 40) ] AS ls
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, source, t.i AS pos, ls[t.i] AS line
+              FROM synth, unnest(range(1, 6)) AS t(i)
+            ),
+            heavy AS (
+              SELECT source, line FROM lines WHERE trim(line) <> ''
+              GROUP BY source, line HAVING count(*) >= 3
+            ),
+            kept AS (
+              SELECT l.doc_id, l.source, l.pos,
+                     CASE WHEN trim(l.line) <> '' AND h.line IS NOT NULL
+                          THEN NULL ELSE l.line END AS keepline
+              FROM lines l LEFT JOIN heavy h
+                ON l.source = h.source AND l.line = h.line
+            ),
+            rebuilt AS (
+              SELECT doc_id, source,
+                     coalesce(string_agg(keepline, chr(10) ORDER BY pos), '')
+                       AS text
+              FROM kept GROUP BY doc_id, source
+            )
+            SELECT doc_id, source, length(text) AS cleaned_len,
+                   md5(text) AS cleaned_md5
+            FROM rebuilt
+        """,
+        "incremental_exact": f"""
+            -- ledger semantics: previously-kept hashes win regardless of
+            -- id; within the new batch the smallest doc_id is canonical
+            WITH d AS (
+              SELECT doc_id, lang, substring(text, 1, 40) AS text,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {sampling.SPLIT_BUCKETS} AS bucket
+              FROM documents
+            ),
+            prior AS (
+              SELECT DISTINCT md5(text) AS h FROM d
+              WHERE bucket < {int(0.6 * sampling.SPLIT_BUCKETS)}
+            ),
+            new_snap AS (
+              SELECT doc_id, lang, md5(text) AS h FROM d
+              WHERE bucket >= {int(0.6 * sampling.SPLIT_BUCKETS)}
+            ),
+            canon AS (SELECT h, min(doc_id) AS keeper FROM new_snap GROUP BY h)
+            SELECT n.doc_id, n.lang
+            FROM new_snap n
+            JOIN canon c ON n.h = c.h AND n.doc_id = c.keeper
+            WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.h = n.h)
+        """,
+        "incremental_minhash": f"""
+            -- all-pairs agreement (no banding): dropped iff a prior-
+            -- snapshot doc agrees >= 0.9, or a smaller-id batch doc does
+            WITH {_MINHASH_SIG_CTES},
+            b AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {sampling.SPLIT_BUCKETS} AS bucket
+              FROM documents
+            ),
+            agree AS (
+              SELECT a.doc_id AS ida, c.doc_id AS idb
+              FROM sigs a JOIN sigs c ON a.doc_id <> c.doc_id
+              WHERE round(list_sum(list_transform(range(1, 65),
+                      i -> CASE WHEN a.sig[CAST(i AS INT)] = c.sig[CAST(i AS INT)]
+                           THEN 1 ELSE 0 END)) / 64.0, 4) >= 0.9
+            )
+            SELECT n.doc_id, n.lang
+            FROM b n
+            WHERE n.bucket >= {int(0.6 * sampling.SPLIT_BUCKETS)}
+              AND NOT EXISTS (
+                SELECT 1 FROM agree g JOIN b p ON g.idb = p.doc_id
+                WHERE g.ida = n.doc_id
+                  AND (p.bucket < {int(0.6 * sampling.SPLIT_BUCKETS)}
+                       OR p.doc_id < n.doc_id)
+              )
         """,
         "url_blocklist": r"""
             WITH pages AS (
@@ -3866,46 +4087,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, round(avg(ppx), 2) AS avg_ppx, round(min(ppx), 2) AS min_ppx
             FROM per_doc GROUP BY lang
         """,
-        "minhash_dedup_count": """
-            WITH t AS (
-              SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents
-            ),
-            sh AS (
-              SELECT doc_id, CAST((
-                        CAST(unicode(substr(t, CAST(u.i AS INT), 1)) AS HUGEINT) * 1000012000054000108000081::HUGEINT
-                      + CAST(unicode(substr(t, CAST(u.i AS INT)+1, 1)) AS HUGEINT) * 1000009000027000027::HUGEINT
-                      + CAST(unicode(substr(t, CAST(u.i AS INT)+2, 1)) AS HUGEINT) * 1000006000009::HUGEINT
-                      + CAST(unicode(substr(t, CAST(u.i AS INT)+3, 1)) AS HUGEINT) * 1000003::HUGEINT
-                      + CAST(unicode(substr(t, CAST(u.i AS INT)+4, 1)) AS HUGEINT)
-                     ) % 9223372036854775808::HUGEINT AS BIGINT) AS h
-              FROM t, UNNEST(range(1, greatest(n - 3, 1))) AS u(i)
-              WHERE n >= 5
-              UNION ALL
-              SELECT doc_id,
-                     coalesce(list_sum(list_transform(range(1, CAST(n AS INT) + 1),
-                         j -> CAST(unicode(substr(t, CAST(j AS INT), 1)) AS BIGINT))), 0) AS h
-              FROM t WHERE n < 5
-            ),
-            perms AS (
-              SELECT CAST(p.i AS INT) AS perm,
-                     CAST(([1608637543, 1273642420, 1935803229, 787846415, 996406379, 1201263688, 423734973, 415968277, 670094951, 1914837114, 669991379, 429389015, 249467211, 1972458955, 1572714584, 1433267573, 434285668, 613608296, 893664920, 648061059, 88409750, 242285877, 2018247426, 953477464, 1427830252, 1883569566, 911989542, 3344770, 780932288, 2114032572, 787716373, 504579233, 1306710476, 479546682, 106328086, 30349565, 1855189740, 99052377, 1250819633, 106406363, 480404539, 1717389823, 599121578, 200427520, 1254751708, 2034764476, 1573512144, 999745295, 1958805694, 389151678, 1224821423, 508464062, 857592371, 1642661740, 61136439, 2075460852, 396917568, 2004731385, 199502979, 1545932261, 461901619, 774414983, 732395541, 1934879561])[CAST(p.i AS INT) + 1] AS HUGEINT) AS a,
-                     CAST(([279394470, 56972561, 1927948675, 1899242072, 1999874363, 271820813, 1324556529, 1655351289, 1308306184, 68574553, 419498548, 991681409, 791274835, 1035196507, 1890440558, 787110843, 524150214, 472432043, 2126768636, 1431061255, 147697582, 744595490, 1758017741, 1679592528, 1111451555, 782698033, 698027879, 1096768899, 1338788865, 1826030589, 86191493, 893102645, 200619113, 290770691, 793943861, 134489564, 2016850622, 1470101905, 1181686489, 1931679275, 1887633569, 1697157321, 1695770557, 1832485859, 420477197, 976125790, 1811936047, 1402481934, 380072391, 302554573, 841739990, 89482491, 194249720, 1980718781, 1397283111, 1479761620, 1669356239, 1062231788, 1165435217, 170476398, 1411916852, 372593431, 1532243865, 1998256344])[CAST(p.i AS INT) + 1] AS HUGEINT) AS b
-              FROM UNNEST(range(0, 64)) AS p(i)
-            ),
-            wrapped AS (
-              SELECT s.doc_id, p.perm,
-                     (CAST(s.h AS HUGEINT) * p.a + p.b) % 18446744073709551616::HUGEINT AS w
-              FROM sh s CROSS JOIN perms p
-            ),
-            mins AS (
-              SELECT doc_id, perm, min(CAST(
-                  ((CASE WHEN w >= 9223372036854775808::HUGEINT
-                         THEN w - 18446744073709551616::HUGEINT ELSE w END)
-                   % 2305843009213693951::HUGEINT + 2305843009213693951::HUGEINT)
-                  % 2305843009213693951::HUGEINT AS BIGINT)) AS m
-              FROM wrapped GROUP BY doc_id, perm
-            ),
-            sigs AS (SELECT doc_id, list(m ORDER BY perm) AS sig FROM mins GROUP BY doc_id),
+        "minhash_dedup_count": f"""
+            WITH {_MINHASH_SIG_CTES},
             dups AS (
               SELECT DISTINCT b.doc_id AS doc_id
               FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id

@@ -1,0 +1,180 @@
+"""Incremental (snapshot-over-snapshot) dedup: incremental_exact_dedup and
+incremental_minhash_dedup, plus the per-scope variant of corpus_line_dedup.
+
+Planted fixtures prove the ledger semantics the operators promise:
+  * batch-internal dups keep the smallest id;
+  * anything already in the ledger is dropped regardless of id order;
+  * the returned ledger is exactly old + survivors (so chaining snapshot
+    after snapshot never re-admits a duplicate);
+  * per-scope line dedup removes a line only inside the scope where it is
+    heavy.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikisource_latin_text_cleaner_spark.operators import dedup
+
+
+def _ids(df, col="doc_id"):
+    return sorted(r[0] for r in df.select(col).collect())
+
+
+# -- incremental exact --------------------------------------------------------
+
+def test_incremental_exact_first_snapshot(spark):
+    df = spark.createDataFrame(
+        [(10, "alpha"), (11, "beta"), (12, "beta"), (13, "gamma")],
+        ["doc_id", "text"],
+    )
+    kept, seen = dedup.incremental_exact_dedup(df, None)
+    assert _ids(kept) == [10, 11, 13]  # 12 loses to 11 within the batch
+    assert seen.count() == 3
+    assert seen.columns == ["content_hash"]
+
+
+def test_incremental_exact_against_ledger(spark):
+    snap1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+    _, seen = dedup.incremental_exact_dedup(snap1, None)
+    # snapshot 2: 20 re-crawls "alpha" (SMALLER hash-ordering irrelevant --
+    # ledger wins regardless of id), 21/22 are an internal dup pair, 23 new
+    snap2 = spark.createDataFrame(
+        [(20, "alpha"), (21, "delta"), (22, "delta"), (23, "epsilon")],
+        ["doc_id", "text"],
+    )
+    kept, seen2 = dedup.incremental_exact_dedup(snap2, seen)
+    assert _ids(kept) == [21, 23]
+    assert seen2.count() == 4  # alpha, beta, delta, epsilon
+    # chaining: a third snapshot of nothing but already-seen text drops all
+    snap3 = spark.createDataFrame(
+        [(30, "alpha"), (31, "delta"), (32, "epsilon")], ["doc_id", "text"]
+    )
+    kept3, seen3 = dedup.incremental_exact_dedup(snap3, seen2)
+    assert kept3.count() == 0
+    assert seen3.count() == 4
+
+
+def test_incremental_exact_keeps_all_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha", "en"), (2, "alpha", "fr")], ["doc_id", "text", "lang"]
+    )
+    kept, _ = dedup.incremental_exact_dedup(df, None)
+    assert kept.columns == ["doc_id", "text", "lang"]
+    assert kept.collect()[0]["lang"] == "en"
+
+
+# -- incremental minhash ------------------------------------------------------
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays on "
+    "and the crowd cheers loudly in the warm summer evening air tonight"
+)
+NEAR = BASE.replace("crowd", "crown")  # one-char change: jaccard ~ 1
+OTHER = (
+    "completely different subject matter entirely unrelated to any fox "
+    "narrative discussing quarterly financial projections and tax policy"
+)
+
+
+def test_incremental_minhash_first_snapshot(spark):
+    df = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER)], ["doc_id", "text"]
+    )
+    kept, seen = dedup.incremental_minhash_dedup(df, None, threshold=0.8)
+    assert _ids(kept) == [1, 3]  # 2 near-duplicates smaller-id 1
+    assert sorted(seen.columns) == ["id", "sig"]
+    assert _ids(seen, "id") == [1, 3]
+
+
+def test_incremental_minhash_against_ledger(spark):
+    snap1 = spark.createDataFrame([(5, BASE)], ["doc_id", "text"])
+    _, seen = dedup.incremental_minhash_dedup(snap1, None, threshold=0.8)
+    # new snapshot: 1 near-dups the LEDGER doc (id 1 < 5 -- must still be
+    # dropped: the ledger doc is already kept), 2 is novel, 9 near-dups 2...
+    other_near = OTHER.replace("tax", "fax")
+    snap2 = spark.createDataFrame(
+        [(1, NEAR), (2, OTHER), (9, other_near)], ["doc_id", "text"]
+    )
+    kept, seen2 = dedup.incremental_minhash_dedup(snap2, seen, threshold=0.8)
+    assert _ids(kept) == [2]
+    assert _ids(seen2, "id") == [2, 5]
+    # chaining: the survivor's signature now guards future snapshots
+    snap3 = spark.createDataFrame([(7, other_near)], ["doc_id", "text"])
+    kept3, _ = dedup.incremental_minhash_dedup(snap3, seen2, threshold=0.8)
+    assert kept3.count() == 0
+
+
+def test_incremental_minhash_matches_batch_minhash_dedup(spark):
+    """With no ledger, the incremental operator must agree with the batch
+    operator (same kernel, same single-level transitivity)."""
+    rows = [(i, BASE) for i in (1, 4)] + [(2, NEAR), (3, OTHER), (6, OTHER)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, _ = dedup.incremental_minhash_dedup(df, None, threshold=0.8)
+    batch = dedup.minhash_dedup(df, threshold=0.8)
+    assert _ids(kept) == _ids(batch)
+
+
+# -- per-scope corpus line dedup ----------------------------------------------
+
+def test_corpus_line_dedup_scoped(spark):
+    rows = [
+        (1, "a.com", "PROMO BANNER\nbody one"),
+        (2, "a.com", "PROMO BANNER\nbody two"),
+        (3, "a.com", "PROMO BANNER\nbody three"),
+        (4, "b.org", "PROMO BANNER\nbody four"),
+        (5, "b.org", "body five"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.corpus_line_dedup(
+            df, min_count=3, scope_col="domain"
+        ).collect()
+    }
+    # heavy within a.com (3 hits) -> stripped there only
+    assert out[1] == "body one" and out[2] == "body two" and out[3] == "body three"
+    # single occurrence on b.org -> untouched
+    assert out[4] == "PROMO BANNER\nbody four"
+    assert out[5] == "body five"
+    # corpus-wide rule (no scope) would strip all four occurrences
+    flat = {
+        r["doc_id"]: r["text"]
+        for r in dedup.corpus_line_dedup(df, min_count=3).collect()
+    }
+    assert flat[4] == "body four"
+
+
+def test_corpus_line_dedup_scoped_keep_first(spark):
+    rows = [
+        (1, "a.com", "PROMO\nbody one"),
+        (2, "a.com", "PROMO\nbody two"),
+        (3, "a.com", "body three\nPROMO"),
+        (4, "b.org", "PROMO\nPROMO\nbody four"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dedup.corpus_line_dedup(
+            df, min_count=2, scope_col="domain", keep_first=True
+        ).collect()
+    }
+    # first occurrence per scope survives: (1, pos 0) for a.com
+    assert out[1] == "PROMO\nbody one"
+    assert out[2] == "body two"
+    assert out[3] == "body three"
+    # b.org's own first occurrence survives independently
+    assert out[4] == "PROMO\nbody four"
+
+
+def test_corpus_line_dedup_null_scope_passthrough(spark):
+    rows = [
+        (1, None, "PROMO\nbody one"),
+        (2, None, "PROMO\nbody two"),
+        (3, None, "PROMO\nbody three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = dedup.corpus_line_dedup(df, min_count=2, scope_col="domain")
+    # NULL scope never matches a heavy key -> byte-identical passthrough
+    assert sorted(r["text"] for r in out.collect()) == sorted(
+        r[2] for r in rows
+    )

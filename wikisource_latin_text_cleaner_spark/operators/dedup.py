@@ -737,6 +737,7 @@ def corpus_line_dedup(
     keep_first: bool = False,
     delimiter: str = "\n",
     persist_line_hashes: bool = True,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Corpus-WIDE duplicate-line removal: any non-blank line occurring at
     least ``min_count`` times across the whole corpus is removed from every
@@ -745,6 +746,16 @@ def corpus_line_dedup(
     (``keep_first=True``, the C4 "all but one" rule).  Blank /
     whitespace-only lines are structural and never counted or removed.
     Returns ``df`` with ``text_col`` rewritten; all other columns intact.
+
+    ``scope_col`` (optional) restricts the rule to a grouping column: a
+    line is heavy only if it repeats >= min_count times WITHIN the same
+    scope value (registrable domain, crawl snapshot, language shard...).
+    This is the per-site boilerplate rule -- a nav bar repeated across one
+    host must not delete an identical-looking line that appears once on an
+    unrelated host, and per-domain counting keeps the heavy set
+    proportional to #domains x boilerplate-per-domain instead of letting
+    cross-site coincidences (dates, "Page 1") go heavy corpus-wide. Rows
+    with a NULL scope never match a heavy key and pass through unchanged.
 
     No reference precedent (the reference cleans one document at a time,
     functions/scrub.py covers those per-document line drops); this is the
@@ -779,29 +790,33 @@ def corpus_line_dedup(
     """
     from pyspark.storagelevel import StorageLevel
 
+    scope_sel = [F.col(scope_col).alias("_scope")] if scope_col else []
+    keys = (["_scope"] if scope_col else []) + ["_h"]
     nb_hashes = (
         df.select(
             F.col(id_col).alias("_id"),
+            *scope_sel,
             F.posexplode(F.split(F.col(text_col), delimiter, -1))
              .alias("_pos", "_line"),
         )
         .where(F.trim(F.col("_line")) != "")
-        .select("_id", "_pos", F.md5(F.encode("_line", "utf-8")).alias("_h"))
+        .select("_id", *(["_scope"] if scope_col else []), "_pos",
+                F.md5(F.encode("_line", "utf-8")).alias("_h"))
     )
     if persist_line_hashes:
         nb_hashes = nb_hashes.persist(StorageLevel.MEMORY_AND_DISK)
 
     heavy = (
-        nb_hashes.groupBy("_h")
+        nb_hashes.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_cnt"),
              F.min(F.struct("_id", "_pos")).alias("_first"))
         .where(F.col("_cnt") >= min_count)
-        .select("_h", "_first")
+        .select(*keys, "_first")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     affected_ids = (
-        nb_hashes.join(F.broadcast(heavy.select("_h")), "_h", "left_semi")
+        nb_hashes.join(F.broadcast(heavy.select(*keys)), keys, "left_semi")
         .select("_id").distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -814,9 +829,10 @@ def corpus_line_dedup(
 
     aff_lines = affected.select(
         F.col(id_col).alias("_id"),
+        *scope_sel,
         F.posexplode(F.split(F.col(text_col), delimiter, -1)).alias("_pos", "_line"),
     ).withColumn("_h", F.md5(F.encode("_line", "utf-8")))
-    marked = aff_lines.join(F.broadcast(heavy), "_h", "left")
+    marked = aff_lines.join(F.broadcast(heavy), keys, "left")
     is_heavy = F.col("_first").isNotNull() & (F.trim(F.col("_line")) != "")
     if keep_first:
         drop = is_heavy & ~(
@@ -1037,3 +1053,157 @@ def exact_span_dedup(
         )
     )
     return untouched.unionByName(touched)
+
+
+# -- incremental (snapshot-over-snapshot) dedup -------------------------------
+#
+# Web corpora arrive as monthly Common-Crawl-style snapshots. Re-deduplicating
+# the union from scratch every month is O(corpus) forever; the production
+# shape is a LEDGER: dedup each new snapshot against (a) itself and (b) a
+# compact table distilled from everything previously kept -- 16-byte content
+# hashes for exact dedup, 64-long MinHash signatures for near-dup -- then
+# append the survivors' entries to the ledger. The already-kept documents are
+# NEVER rescanned. No reference precedent (the reference is a one-shot batch
+# cleaner); the pattern follows the incremental dedup described for
+# CCNet/RefinedWeb-scale crawls (Penedo et al. 2023 sec 3.3).
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_hashes: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a new snapshot against itself and a prior-content ledger.
+
+    ``seen_hashes``: one column ``hash_col`` (md5 hex of document text) per
+    previously-KEPT document; ``None`` for the first snapshot. Returns
+    ``(kept, updated_seen)`` where ``kept`` keeps the smallest ``id_col``
+    per batch-internal duplicate group and drops anything whose hash is
+    already in the ledger, and ``updated_seen`` = ledger + kept hashes
+    (disjoint by construction, so a plain union -- no distinct needed).
+
+    Scale shape: the ledger holds 16 bytes/doc (10^12 docs ~ 16 TB --
+    joinable, unlike the corpus itself). Both the batch-internal groupBy
+    and the ledger anti-join shuffle on the uniform md5 key, so there is
+    no skew; storing the ledger bucketed by ``hash_col`` (e.g.
+    ``bucketBy(8192, hash_col)``) makes the monthly anti-join shuffle-free
+    on the ledger side. ``persist`` caches the surviving-rows frame because
+    it feeds both returned frames (AQE would otherwise compile the two
+    consumers independently and run the anti-join twice).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    hashed = new_df.withColumn(
+        hash_col, F.md5(F.encode(F.col(text_col), "utf-8"))
+    )
+    canon = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    batch_kept = hashed.join(canon.select(id_col), id_col, "left_semi")
+    if seen_hashes is not None:
+        kept_h = batch_kept.join(
+            seen_hashes.select(hash_col), hash_col, "left_anti"
+        )
+    else:
+        kept_h = batch_kept
+    if persist:
+        kept_h = kept_h.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = kept_h.select(*new_df.columns)
+    new_entries = kept_h.select(hash_col)
+    if seen_hashes is None:
+        return kept, new_entries
+    return kept, seen_hashes.select(hash_col).unionByName(new_entries)
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_sigs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup-dedup a new snapshot against itself and a signature ledger.
+
+    ``seen_sigs``: columns ``(id, sig)`` -- the 64-long char-5-shingle
+    MinHash signatures (``minhash_udf``) of previously-kept documents;
+    ``None`` for the first snapshot. A new document is dropped iff its
+    signature agreement is >= ``threshold`` with ANY ledger document
+    (regardless of id order -- the ledger doc is already kept and stays),
+    or with a smaller-id document of its own batch (the same single-level
+    transitivity as ``minhash_dedup``). Returns ``(kept, updated_seen)``
+    with ``updated_seen`` = ledger + the survivors' signatures.
+
+    Scale shape: signatures are computed ONCE per new doc (Arrow UDF over
+    the batch, persisted) and candidates come from LSH band-bucket
+    equality against ledger+batch band keys -- ~uniform by construction,
+    so the probe join is skew-free and costs |new| x bands lookups, never
+    O(|ledger| x |new|). Verification is the JVM-side zip_with agreement
+    on the already-joined signature pair. Store the ledger bucketed by
+    band key at production scale to keep its side of the probe
+    shuffle-free; the ledger grows 512 B/doc.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    new_sigs = new_df.select(
+        F.col(id_col).alias("id"), minhash_udf(text_col).alias("sig")
+    )
+    if persist:
+        new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            "sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.hash(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band), b
+                    ),
+                )
+            ).alias("band_key"),
+        )
+
+    new_bands = _bands(new_sigs)
+    left = new_bands.select(
+        "band_key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    right = new_bands.select(
+        "band_key", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+        F.lit(False).alias("is_prior"),
+    )
+    if seen_sigs is not None:
+        right = right.unionByName(
+            _bands(seen_sigs.select("id", "sig")).select(
+                "band_key", F.col("id").alias("id_b"),
+                F.col("sig").alias("sig_b"), F.lit(True).alias("is_prior"),
+            )
+        )
+    k = bands * rows_per_band
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+                lambda x: x == 1,
+            )
+        )
+        / F.lit(k)
+    )
+    dup_ids = (
+        left.join(right, "band_key")
+        .where(F.col("is_prior") | (F.col("id_b") < F.col("id_a")))
+        .where(F.round(est, 4) >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    kept = new_df.join(dup_ids, id_col, "left_anti")
+    kept_sigs = new_sigs.join(
+        dup_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
+    )
+    if seen_sigs is None:
+        return kept, kept_sigs
+    return kept, seen_sigs.select("id", "sig").unionByName(kept_sigs)
