@@ -866,6 +866,45 @@ def q_incremental_minhash(spark, sf):
     return kept.select("doc_id", "lang")
 
 
+def q_domain_quality_gate(spark, sf):
+    """Domain-LEVEL quality filtering (sampling.domain_quality_gate): mean
+    stopword ratio per domain, rounded to 6dp, gates EVERY page of the
+    domain at min_mean=0.055, and domains with < 3 pages are dropped as
+    unmeasurable. doc_id % 53 plants singleton '-rare' domains -- one of
+    them scores ABOVE the mean bar and still dies to min_docs, so both
+    conditions are independently exercised at sf0.01 (real-source means
+    span 0.039-0.076 with no domain within 8e-4 of the bar). The oracle
+    re-derives score, per-domain mean, and both gates in SQL."""
+    d = _docs(spark, sf)
+    docs = d.withColumn(
+        "domain",
+        F.when(F.col("doc_id") % 53 == 0,
+               F.concat(F.col("source"), F.lit("-rare")))
+        .otherwise(F.col("source")),
+    )
+    kept = sampling.domain_quality_gate(
+        docs, quality.stopword_ratio(F.col("text")), "domain",
+        min_mean=0.055, min_docs=3,
+    )
+    return kept.select("doc_id", "domain")
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Corpus profiling: top-10 tf-idf terms per language
+    (textstats.tfidf_top_terms) -- tf x ln(#groups/group_freq), so a term
+    present in every language scores exactly 0 and the winners are the
+    discriminative ones. Score is 6dp-rounded BEFORE ranking with
+    term-ascending tiebreak (the cross-engine determinism surface); the
+    oracle replays tokenization, both aggregates, and the ranked window
+    in SQL."""
+    return textstats.tfidf_top_terms(
+        _docs(spark, sf), "lang", "text", k=10
+    ).select(
+        F.col("group").alias("lang"), "term", "term_freq", "group_freq",
+        "score", "rank",
+    )
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1413,6 +1452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_line_dedup": q_domain_line_dedup,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
+        "domain_quality_gate": q_domain_quality_gate,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -2145,6 +2186,66 @@ def oracle_sql() -> dict[str, str]:
                   AND (p.bucket < {int(0.6 * sampling.SPLIT_BUCKETS)}
                        OR p.doc_id < n.doc_id)
               )
+        """,
+        "domain_quality_gate": f"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     CASE WHEN doc_id % 53 = 0 THEN source || '-rare'
+                          ELSE source END AS domain
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, domain,
+                CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> '')) > 0
+                THEN len(list_filter(
+                       list_transform(
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> ''),
+                         x -> regexp_replace(x, '[^\\w]', '', 'g')),
+                       x -> list_contains({_STOP_SQL}, x))) * 1.0
+                     / len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> ''))
+                ELSE 0.0 END AS r
+              FROM d
+            ),
+            v AS (
+              SELECT domain, round(avg(r), 6) AS mean_r, count(*) AS n
+              FROM s GROUP BY domain
+            )
+            SELECT s.doc_id, s.domain
+            FROM s JOIN v USING (domain)
+            WHERE v.n >= 3 AND v.mean_r >= 0.055
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT lang AS g, u.t AS term
+              FROM documents,
+                   UNNEST(list_filter(string_split_regex(trim(lower(text)),
+                                                         '\s+'),
+                                      x -> x <> '')) AS u(t)
+              WHERE lang IS NOT NULL
+            ),
+            tf AS (
+              SELECT g, term, count(*) AS term_freq FROM toks GROUP BY g, term
+            ),
+            gf AS (SELECT term, count(*) AS group_freq FROM tf GROUP BY term),
+            scored AS (
+              SELECT g, term, term_freq, group_freq,
+                     round(term_freq * ln(
+                       (SELECT count(DISTINCT lang) FROM documents
+                        WHERE lang IS NOT NULL) * 1.0 / group_freq), 6)
+                       AS score
+              FROM tf JOIN gf USING (term)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY g
+                          ORDER BY score DESC, term ASC) AS rn
+              FROM scored
+            )
+            SELECT g AS lang, term, term_freq, group_freq, score,
+                   CAST(rn AS INT) AS rank
+            FROM ranked WHERE rn <= 10
         """,
         "url_blocklist": r"""
             WITH pages AS (

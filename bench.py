@@ -86,6 +86,9 @@ HEADLINE = (
     "quality_distill",
     "unimax_mix",
     "corpus_overlap_kmv",
+    # snapshot-over-snapshot near-dup dedup against a signature ledger
+    # (UDF signatures for both sides + LSH band probe + anti-join)
+    "incremental_minhash",
 )
 
 

@@ -194,3 +194,69 @@ def kmv_overlap(
         F.round(F.sum(F.col("in_a") * F.col("in_b")) / F.count("*"), 6).alias("j_exact"),
         F.count("*").alias("n_union"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` tf-idf terms per group: the standard corpus-profiling /
+    domain-signature table (which terms characterize each language,
+    domain, or crawl snapshot). tf = term occurrences within the group;
+    idf = ln(#groups / #groups containing the term), so a term present in
+    every group scores exactly 0 and the winners are the discriminative
+    ones. Rows with a NULL group are excluded. Returns (group, term,
+    term_freq, group_freq, score, rank) with rank 1..k per group.
+
+    Determinism surface: score is rounded to 6dp BEFORE ranking and ties
+    break on term ascending, so the selected set is reproducible across
+    engines and partitionings (ln is IEEE-exact per input but the 1-ulp
+    product noise must not reorder the boundary).
+
+    Scale shape: the token explode feeds a partial-aggregatable
+    (group, term) count -- the shuffle carries one row per distinct
+    (group, term) per map task, not one per token; group_freq is a second
+    partial agg over that (already-distinct) frame keyed by term; the
+    join back to tf is on the term key where the build side is unique per
+    key (<= #groups rows per term), so no skew; the final per-group
+    row_number window map-side prunes to k per task (Spark 4
+    WindowGroupLimit, same shape as domain_cap).
+    """
+    n_groups = (
+        df.where(F.col(group_col).isNotNull())
+        .select(group_col).distinct().count()
+    )
+    toks = (
+        df.where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("group"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("term"),
+        )
+    )
+    tf = toks.groupBy("group", "term").agg(F.count(F.lit(1)).alias("term_freq"))
+    gf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("group_freq"))
+    scored = tf.join(gf, "term").withColumn(
+        "score",
+        F.round(
+            F.col("term_freq")
+            * F.log(F.lit(float(n_groups)) / F.col("group_freq")),
+            6,
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("group").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("group", "term", "term_freq", "group_freq", "score", "rank")
+    )
