@@ -905,6 +905,39 @@ def q_tfidf_top_terms(spark, sf):
     )
 
 
+def q_meta_robots(spark, sf):
+    """Robots-meta opt-out flags (functions/html.py meta_robots_flags):
+    pure-Catalyst decode + regexp_extract of the first <meta name=robots>
+    tag + literal directive scan. Synthesized captures cycle through
+    double-quoted, single-quoted, attribute-REVERSED (content before
+    name), and a non-robots meta that must not match; the oracle runs the
+    identical RE2 pattern in DuckDB over the same synthesized html."""
+    d = _docs(spark, sf)
+    mod = F.col("doc_id") % 7
+    head = (
+        F.when(mod == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(mod == 1, F.lit("<meta name='robots' content='noindex'>"))
+        .when(mod == 2, F.lit('<meta content="nofollow" name="robots">'))
+        .when(mod == 3,
+              F.lit('<meta name="viewport" content="width=device-width">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), head,
+                 F.lit("</head><body><p>noindex mentioned in text</p>"
+                       "</body></html>")),
+        "utf-8",
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    flags = htmlx.meta_robots_flags(F.col("html"))
+    return pages.select(
+        "doc_id",
+        flags["noindex"].alias("noindex"),
+        flags["nofollow"].alias("nofollow"),
+    )
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1454,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash": q_incremental_minhash,
         "domain_quality_gate": q_domain_quality_gate,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "meta_robots": q_meta_robots,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -2247,6 +2281,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rn AS INT) AS rank
             FROM ranked WHERE rn <= 10
         """,
+        "meta_robots": r'''
+            WITH pages AS (
+              SELECT doc_id,
+                     '<html><head>' ||
+                     CASE WHEN doc_id % 7 = 0
+                          THEN '<meta name="robots" content="noindex, nofollow">'
+                          WHEN doc_id % 7 = 1
+                          THEN '<meta name=''robots'' content=''noindex''>'
+                          WHEN doc_id % 7 = 2
+                          THEN '<meta content="nofollow" name="robots">'
+                          WHEN doc_id % 7 = 3
+                          THEN '<meta name="viewport" content="width=device-width">'
+                          ELSE '' END ||
+                     '</head><body><p>noindex mentioned in text</p></body></html>'
+                       AS html
+              FROM documents
+            ),
+            tags AS (
+              SELECT doc_id,
+                     lower(regexp_extract(html,
+                       '(?i)<meta\b[^>]*\bname\s*=\s*[''"]?robots[''"]?[^>]*>',
+                       0)) AS tag
+              FROM pages
+            )
+            SELECT doc_id,
+                   coalesce(contains(tag, 'noindex'), FALSE) AS noindex,
+                   coalesce(contains(tag, 'nofollow'), FALSE) AS nofollow
+            FROM tags
+        ''',
         "url_blocklist": r"""
             WITH pages AS (
               SELECT doc_id, source,

@@ -134,3 +134,54 @@ def test_pipeline_html_fallback(spark):
     assert all(r.drop_reasons != ["null_text"] for u, r in rows.items() if u != "u-none")
     # html-derived rows go through the same scrub; plenty survive
     assert sum(1 for r in rows.values() if r.keep) > 10
+
+
+# -- robots meta directives ----------------------------------------------------
+
+def _robots_df(spark):
+    rows = [
+        (1, b'<head><meta name="robots" content="noindex, nofollow"></head>'),
+        (2, b"<head><meta name='robots' content='noindex'></head>"),
+        # attribute order reversed: content before name
+        (3, b'<head><meta content="nofollow" name="robots"></head>'),
+        # non-robots meta must not match
+        (4, b'<head><meta name="viewport" content="noindex"></head>'),
+        # directive word in body text only -- not a meta tag
+        (5, b"<body>please noindex this</body>"),
+        (6, None),
+        # unquoted attribute value + mixed case
+        (7, b"<META NAME=ROBOTS CONTENT=NOINDEX>"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, html binary")
+
+
+def test_meta_robots_flags(spark):
+    from pyspark.sql import functions as F
+
+    df = _robots_df(spark)
+    got = {
+        r["doc_id"]: (r["f"]["noindex"], r["f"]["nofollow"])
+        for r in df.select(
+            "doc_id", H.meta_robots_flags(F.col("html")).alias("f")
+        ).collect()
+    }
+    assert got[1] == (True, True)
+    assert got[2] == (True, False)
+    assert got[3] == (False, True)
+    assert got[4] == (False, False)
+    assert got[5] == (False, False)
+    assert got[6] == (False, False)
+    assert got[7] == (True, False)
+
+
+def test_drop_meta_noindex(spark):
+    kept = H.drop_meta_noindex(_robots_df(spark))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4, 5, 6]
+
+
+def test_meta_robots_plan_is_jvm_only(spark):
+    from pyspark.sql import functions as F
+
+    df = _robots_df(spark).select(H.meta_robots_flags(F.col("html")).alias("f"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan

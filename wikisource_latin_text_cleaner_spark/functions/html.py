@@ -71,3 +71,48 @@ def escape_text_as_html(text: str) -> str:
         + text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         + "</p></body></html>"
     )
+
+
+# -- robots meta directives (publisher opt-out) -------------------------------
+
+#: RE2-compatible (no lookaround, works verbatim in Java regex and DuckDB):
+#: the whole first <meta ... name=robots ...> tag, any attribute order.
+ROBOTS_META_RE = r"""(?i)<meta\b[^>]*\bname\s*=\s*['"]?robots['"]?[^>]*>"""
+
+
+def meta_robots_flags(html_col):
+    """(noindex, nofollow) flags from the first ``<meta name=robots>`` tag
+    of the raw capture (binary column). Pure Catalyst -- decode +
+    regexp_extract + contains, zero Python, zero shuffle; the projection
+    prunes the scan to the html column. Attribute order does not matter
+    because the whole tag is captured and then scanned for the directives;
+    a 'noindex' appearing in body text never matches (it is not inside a
+    robots meta tag). Pages without the tag, or with NULL html, get
+    (false, false). Directives are matched literally ('none' is not
+    expanded); malformed non-UTF-8 captures decode with replacement chars,
+    which cannot fabricate an ASCII meta tag.
+
+    No reference precedent (the reference corpus is not crawled); a
+    Common-Crawl-style pipeline honors noindex as a publisher opt-out
+    BEFORE any content processing.
+    """
+    from pyspark.sql import functions as F
+
+    tag = F.lower(
+        F.regexp_extract(F.decode(html_col, "UTF-8"), ROBOTS_META_RE, 0)
+    )
+    return F.struct(
+        F.coalesce(tag.contains("noindex"), F.lit(False)).alias("noindex"),
+        F.coalesce(tag.contains("nofollow"), F.lit(False)).alias("nofollow"),
+    )
+
+
+def drop_meta_noindex(pages, html_col: str = "html"):
+    """Opt-out pre-gate: remove pages whose robots meta declares noindex.
+    Apply BEFORE the quality pipeline -- a publisher opt-out is not a
+    quality verdict (it must not appear in drop_reasons statistics), and
+    dropping early keeps the html column out of every later stage's scan.
+    """
+    from pyspark.sql import functions as F
+
+    return pages.where(~meta_robots_flags(F.col(html_col))["noindex"])
