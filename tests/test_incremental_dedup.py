@@ -178,3 +178,47 @@ def test_corpus_line_dedup_null_scope_passthrough(spark):
     assert sorted(r["text"] for r in out.collect()) == sorted(
         r[2] for r in rows
     )
+
+
+def test_incremental_minhash_plan_shape(spark):
+    """No cartesian product; the new-batch signature frame is persisted so
+    its Arrow UDF feeds the cache once instead of once per join branch
+    (left bands / right-union bands / ledger-update anti-join)."""
+    new = spark.createDataFrame([(i, BASE + str(i)) for i in range(8)],
+                                ["doc_id", "text"])
+    seen = spark.createDataFrame([(100, OTHER)], ["doc_id", "text"]).select(
+        F.col("doc_id").alias("id"), dedup.minhash_udf("text").alias("sig")
+    )
+    kept, _ = dedup.incremental_minhash_dedup(new, seen, threshold=0.8)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_incremental_minhash_collapse_parity(spark):
+    """collapse_identical is lossless: same kept set with it on or off,
+    including identical-text clusters and cross/within-batch near-dups."""
+    seen_src = spark.createDataFrame([(50, OTHER)], ["doc_id", "text"])
+    seen = seen_src.select(
+        F.col("doc_id").alias("id"), dedup.minhash_udf("text").alias("sig")
+    )
+    rows = [(1, BASE), (2, BASE), (3, BASE), (4, NEAR), (5, OTHER),
+            (6, "totally fresh standalone content about gardening tips")]
+    new = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept_on, _ = dedup.incremental_minhash_dedup(
+        new, seen, threshold=0.8, collapse_identical=True)
+    kept_off, _ = dedup.incremental_minhash_dedup(
+        new, seen, threshold=0.8, collapse_identical=False)
+    assert _ids(kept_on) == _ids(kept_off) == [1, 6]
+
+
+def test_incremental_minhash_word_signature(spark):
+    """signature_udf switches the shingle universe (word 3-grams)."""
+    df = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER)], ["doc_id", "text"]
+    )
+    # word grams are coarser than char shingles: one changed word costs
+    # n of ~24 3-grams, so the one-word-edit pair sits near 0.7
+    kept, seen = dedup.incremental_minhash_dedup(
+        df, None, threshold=0.6, signature_udf=dedup.word_minhash_udf)
+    assert _ids(kept) == [1, 3]

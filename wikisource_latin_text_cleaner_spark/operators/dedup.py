@@ -1124,17 +1124,36 @@ def incremental_minhash_dedup(
     bands: int = 16,
     rows_per_band: int = 4,
     persist: bool = True,
+    signature_udf=None,
+    collapse_identical: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup-dedup a new snapshot against itself and a signature ledger.
 
-    ``seen_sigs``: columns ``(id, sig)`` -- the 64-long char-5-shingle
-    MinHash signatures (``minhash_udf``) of previously-kept documents;
-    ``None`` for the first snapshot. A new document is dropped iff its
-    signature agreement is >= ``threshold`` with ANY ledger document
-    (regardless of id order -- the ledger doc is already kept and stays),
-    or with a smaller-id document of its own batch (the same single-level
+    ``seen_sigs``: columns ``(id, sig)`` -- the 64-long MinHash signatures
+    of previously-kept documents (produced by the SAME ``signature_udf``
+    as this call uses; default char-5-shingle ``minhash_udf``); ``None``
+    for the first snapshot. A new document is dropped iff its signature
+    agreement is >= ``threshold`` with ANY ledger document (regardless of
+    id order -- the ledger doc is already kept and stays), or with a
+    smaller-id document of its own batch (the same single-level
     transitivity as ``minhash_dedup``). Returns ``(kept, updated_seen)``
     with ``updated_seen`` = ledger + the survivors' signatures.
+
+    ``signature_udf`` picks the shingle universe (same dial as
+    ``minhash_band_candidates``): pass ``word_minhash_udf`` for corpora
+    whose character n-gram space is low-entropy (short template-ish docs
+    over a shared vocabulary make char-shingle Jaccard high between
+    UNRELATED docs, flooding the band join with mid-similarity candidates
+    -- measured: the 1M-page synthetic corpus floods char-shingle LSH but
+    runs clean on word 3-grams, BENCH/STRESS.md).
+
+    ``collapse_identical`` (default True) first collapses new docs with
+    IDENTICAL signatures to their smallest id via a linear hash-groupBy,
+    so a boilerplate cluster of m byte-similar docs costs m rows instead
+    of m^2/bands band-join pairs. Lossless by construction: identical
+    signatures give agreement 1 with each other (>= any threshold) and
+    IDENTICAL estimates against every third signature, so the surviving
+    representative reproduces exactly the pairs its clones would have.
 
     Scale shape: signatures are computed ONCE per new doc (Arrow UDF over
     the batch, persisted) and candidates come from LSH band-bucket
@@ -1147,11 +1166,24 @@ def incremental_minhash_dedup(
     """
     from pyspark.storagelevel import StorageLevel
 
+    sig_udf = signature_udf if signature_udf is not None else minhash_udf
     new_sigs = new_df.select(
-        F.col(id_col).alias("id"), minhash_udf(text_col).alias("sig")
+        F.col(id_col).alias("id"), sig_udf(text_col).alias("sig")
     )
     if persist:
         new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    if collapse_identical:
+        canon = new_sigs.groupBy("sig").agg(F.min("id").alias("id"))
+        survivors = new_sigs.join(canon.select("id"), "id", "left_semi")
+        if persist:
+            survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+        collapse_dropped = new_sigs.join(
+            canon.select("id"), "id", "left_anti"
+        ).select(F.col("id").alias(id_col))
+    else:
+        survivors = new_sigs
+        collapse_dropped = None
 
     def _bands(sigs: DataFrame) -> DataFrame:
         return sigs.select(
@@ -1167,7 +1199,7 @@ def incremental_minhash_dedup(
             ).alias("band_key"),
         )
 
-    new_bands = _bands(new_sigs)
+    new_bands = _bands(survivors)
     left = new_bands.select(
         "band_key", F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
     )
@@ -1198,8 +1230,10 @@ def incremental_minhash_dedup(
         .where(F.round(est, 4) >= threshold)
         .select(F.col("id_a").alias(id_col))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if collapse_dropped is not None:
+        dup_ids = dup_ids.unionByName(collapse_dropped)
+    dup_ids = dup_ids.persist(StorageLevel.MEMORY_AND_DISK)
     kept = new_df.join(dup_ids, id_col, "left_anti")
     kept_sigs = new_sigs.join(
         dup_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
