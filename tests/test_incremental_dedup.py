@@ -104,14 +104,21 @@ def test_incremental_minhash_against_ledger(spark):
     assert kept3.count() == 0
 
 
-def test_incremental_minhash_matches_batch_minhash_dedup(spark):
-    """With no ledger, the incremental operator must agree with the batch
-    operator (same kernel, same single-level transitivity)."""
+def test_incremental_minhash_matches_pair_formulation(spark):
+    """With no ledger, the incremental operator (and minhash_dedup, which
+    delegates to it) must reproduce the independent pair-derived survivor
+    set: drop b iff some verified pair (a<b) exists."""
     rows = [(i, BASE) for i in (1, 4)] + [(2, NEAR), (3, OTHER), (6, OTHER)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     kept, _ = dedup.incremental_minhash_dedup(df, None, threshold=0.8)
-    batch = dedup.minhash_dedup(df, threshold=0.8)
-    assert _ids(kept) == _ids(batch)
+    dup_ids = (
+        dedup.minhash_near_duplicates(df, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    pair_kept = df.join(dup_ids, "doc_id", "left_anti")
+    assert _ids(kept) == _ids(pair_kept)
+    assert _ids(dedup.minhash_dedup(df, threshold=0.8)) == _ids(pair_kept)
 
 
 # -- per-scope corpus line dedup ----------------------------------------------

@@ -457,14 +457,21 @@ def minhash_near_duplicates(
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.8) -> DataFrame:
-    """Drop every doc that near-duplicates a smaller-id doc."""
-    dup_ids = (
-        minhash_near_duplicates(df, text_col, id_col, threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+                  threshold: float = 0.8, signature_udf=None,
+                  collapse_identical: bool = True) -> DataFrame:
+    """Drop every doc that near-duplicates a smaller-id doc.
+
+    Delegates to ``incremental_minhash_dedup`` with an empty ledger: the
+    identical single-level-transitivity survivor set (pinned by the
+    pair-formulation parity test), plus the ``signature_udf`` /
+    ``collapse_identical`` scale dials that defuse the low-entropy LSH
+    candidate flood (see that docstring and BENCH/STRESS.md).
+    """
+    kept, _ = incremental_minhash_dedup(
+        df, None, text_col, id_col, threshold,
+        signature_udf=signature_udf, collapse_identical=collapse_identical,
     )
-    return df.join(dup_ids, id_col, "left_anti")
+    return kept
 
 
 # -- SimHash near-dup ---------------------------------------------------------
