@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip period/genre classification columns")
     p.add_argument("--html-fallback", action="store_true",
                    help="derive text from the html column when text is null")
+    p.add_argument("--drop-noindex", action="store_true",
+                   help="honor <meta name=robots> noindex opt-outs: drop "
+                        "those pages BEFORE the pipeline (publisher opt-out, "
+                        "not a quality verdict -- never in drop_reasons)")
     p.add_argument("--rule-metrics", action="store_true",
                    help="record per-orthography-rule substitution counts "
                         "in the metrics table (ref step5 per-pattern stats)")
@@ -170,6 +174,11 @@ def main(argv: list[str] | None = None) -> int:
     pages = catalog.read_table(spark, args.input)
 
     from pyspark.sql import functions as F
+
+    if args.drop_noindex:
+        from wikisource_latin_text_cleaner_spark.functions import html as _html
+
+        pages = _html.drop_meta_noindex(pages)
 
     if args.stages:
         # stage-subset re-run (ref --steps suffix): rewrite the text column

@@ -151,3 +151,37 @@ def test_driver_url_blocklist_and_bloom_variant(tmp_path):
     assert exact["docs_kept"] < plain["docs_kept"]
     assert (bloom["docs_kept"], bloom["docs_quarantined"]) == (
         exact["docs_kept"], exact["docs_quarantined"])
+
+
+def test_driver_drop_noindex(tmp_path):
+    """--drop-noindex removes robots-opt-out pages BEFORE the pipeline:
+    docs_in shrinks by exactly the planted count and no drop_reason is
+    charged for them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    inp = str(tmp_path / "pages.parquet")
+    synth.write_pages_parquet(inp, 200, seed=29)
+    t = pq.read_table(inp)
+    html = t.column("html").to_pylist()
+    tag = b'<head><meta name="robots" content="noindex"></head>'
+    n_opted = 0
+    for i in range(0, len(html), 5):
+        html[i] = tag + (html[i] or b"")
+        n_opted += 1
+    t = t.set_column(t.schema.get_field_index("html"),
+                     pa.field("html", pa.binary()),
+                     pa.array(html, type=pa.binary()))
+    pq.write_table(t, inp, row_group_size=64)
+
+    base = ["--input", inp, "--output", str(tmp_path / "out1"), "--mode",
+            "web", "--buckets", "2", "--master", "local[4]", "--no-classify"]
+    r_all = _run(base)
+    assert r_all["docs_in"] == 200
+    r_gate = _run([*base[:3], str(tmp_path / "out2"), *base[4:],
+                   "--drop-noindex"])
+    assert r_gate["docs_in"] == 200 - n_opted
+    assert (r_gate["docs_kept"] + r_gate["docs_quarantined"]
+            == 200 - n_opted)
