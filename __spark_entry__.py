@@ -938,6 +938,23 @@ def q_meta_robots(spark, sf):
     )
 
 
+def q_latest_capture(spark, sf):
+    """URL-revisit dedup (dedup.latest_capture): keep the newest capture
+    per url via one partial-aggregatable max_by -- no window, so nothing
+    sorts 10^12 rows. Captures are synthesized by folding doc_ids onto
+    ~151 urls with strictly increasing timestamps; the oracle picks the
+    same winner with a row_number window (tie-free by construction)."""
+    d = _docs(spark, sf)
+    pages = d.select(
+        F.concat(F.lit("https://example.org/p"),
+                 (F.col("doc_id") % 151).cast("string")).alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 3600).alias("warc_ts"),
+        "doc_id", "lang",
+    )
+    out = dedup.latest_capture(pages)
+    return out.select("url", "doc_id", "lang")
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1488,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality_gate": q_domain_quality_gate,
         "tfidf_top_terms": q_tfidf_top_terms,
         "meta_robots": q_meta_robots,
+        "latest_capture": q_latest_capture,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -2310,6 +2328,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(contains(tag, 'nofollow'), FALSE) AS nofollow
             FROM tags
         ''',
+        "latest_capture": """
+            WITH pages AS (
+              SELECT 'https://example.org/p' || CAST(doc_id % 151 AS VARCHAR)
+                       AS url,
+                     to_timestamp(doc_id * 3600) AS warc_ts, doc_id, lang
+              FROM documents
+            ),
+            r AS (
+              SELECT url, doc_id, lang,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY warc_ts DESC) AS rn
+              FROM pages
+            )
+            SELECT url, doc_id, lang FROM r WHERE rn = 1
+        """,
         "url_blocklist": r"""
             WITH pages AS (
               SELECT doc_id, source,

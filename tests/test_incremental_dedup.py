@@ -229,3 +229,43 @@ def test_incremental_minhash_word_signature(spark):
     kept, seen = dedup.incremental_minhash_dedup(
         df, None, threshold=0.6, signature_udf=dedup.word_minhash_udf)
     assert _ids(kept) == [1, 3]
+
+
+# -- latest-capture URL dedup ---------------------------------------------------
+
+def test_latest_capture(spark):
+    rows = [
+        ("a", 100, "old a"), ("a", 500, "new a"), ("a", 300, "mid a"),
+        ("b", 50, "only b"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, text string").select(
+        "url", F.timestamp_seconds("ts").alias("warc_ts"), "text"
+    )
+    out = {r["url"]: r["text"]
+           for r in dedup.latest_capture(df).collect()}
+    assert out == {"a": "new a", "b": "only b"}
+
+
+def test_latest_capture_tiebreak(spark):
+    rows = [("a", 100, "zz"), ("a", 100, "aa"), ("a", 50, "old")]
+    df = spark.createDataFrame(rows, "url string, ts long, text string").select(
+        "url", F.timestamp_seconds("ts").alias("warc_ts"), "text"
+    )
+    out = dedup.latest_capture(df, tiebreak_col="text").collect()
+    assert len(out) == 1 and out[0]["text"] == "zz"  # (ts, text) lexicographic
+
+
+def test_latest_capture_preserves_columns(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x", "en")], "url string, warc_ts long, text string, lang string"
+    )
+    out = dedup.latest_capture(df)
+    assert out.columns == ["url", "warc_ts", "text", "lang"]
+
+
+def test_latest_capture_plan_has_no_window(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x")], "url string, warc_ts long, text string"
+    )
+    plan = dedup.latest_capture(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "partial" in plan.lower()

@@ -1248,3 +1248,43 @@ def incremental_minhash_dedup(
     if seen_sigs is None:
         return kept, kept_sigs
     return kept, seen_sigs.select("id", "sig").unionByName(kept_sigs)
+
+
+def latest_capture(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """URL-revisit dedup: keep the NEWEST capture of each url (the standard
+    Common-Crawl policy for re-crawled pages -- content-hash dedup keeps
+    byte-identical recrawls, but a page whose content CHANGED between
+    crawls must be collapsed to its freshest capture, not its smallest
+    id). One output row per distinct url, all columns preserved.
+
+    ``tiebreak_col`` makes equal-timestamp captures deterministic (ordering
+    becomes (ts, tiebreak) lexicographic); without it, exact-tie winners
+    are whichever partial the merge sees last -- fine when (url, ts) is
+    unique by construction (WARC capture times), documented otherwise.
+
+    Scale shape: a single partial-aggregatable ``max_by`` -- each map task
+    keeps one candidate row per url it sees, the shuffle carries one row
+    per (url, map task), and the reduce keys are urls (effectively unique,
+    skew-free). No window function: a row_number over 10^12 urls would
+    sort every partition; max_by folds instead.
+    """
+    ordering = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col is not None
+        else F.col(ts_col)
+    )
+    return (
+        pages.groupBy(url_col)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in pages.columns if c != url_col]),
+                ordering,
+            ).alias("_r")
+        )
+        .select(url_col, "_r.*")
+    )
