@@ -955,6 +955,20 @@ def q_latest_capture(spark, sf):
     return out.select("url", "doc_id", "lang")
 
 
+def q_minhash_estimate_audit(spark, sf):
+    """Estimator calibration (dedup.minhash_estimate_audit): every pair
+    the 64-permutation MinHash deems >= 0.8 agreement, with the EXACT
+    char-5-shingle Jaccard (array_intersect/union JVM-side) and the
+    absolute error. Band recall is provably exhaustive here: est >= 0.8
+    allows <= 12 mismatching signature positions, which can spoil at most
+    12 of the 16 bands (pigeonhole), so the all-pairs oracle must match
+    row-for-row. The oracle re-derives signatures (shared
+    _MINHASH_SIG_CTES), the agreement filter, and the exact Jaccard from
+    the same shingle CTE with DISTINCT set arithmetic."""
+    d = _docs(spark, sf, spread=True)
+    return dedup.minhash_estimate_audit(d, threshold=0.8)
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1506,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "meta_robots": q_meta_robots,
         "latest_capture": q_latest_capture,
+        "minhash_estimate_audit": q_minhash_estimate_audit,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -2342,6 +2357,37 @@ def oracle_sql() -> dict[str, str]:
               FROM pages
             )
             SELECT url, doc_id, lang FROM r WHERE rn = 1
+        """,
+        "minhash_estimate_audit": f"""
+            WITH {_MINHASH_SIG_CTES},
+            vp AS (
+              SELECT * FROM (
+                SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+                       round(list_sum(list_transform(range(1, 65),
+                         i -> CASE WHEN a.sig[CAST(i AS INT)] = c.sig[CAST(i AS INT)]
+                              THEN 1 ELSE 0 END)) / 64.0, 4) AS est_jaccard
+                FROM sigs a JOIN sigs c ON a.doc_id < c.doc_id
+              ) WHERE est_jaccard >= 0.8
+            ),
+            sdist AS (SELECT DISTINCT doc_id, h FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sdist GROUP BY doc_id),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS i
+              FROM vp p JOIN sdist a ON a.doc_id = p.id_a
+                        JOIN sdist b ON b.doc_id = p.id_b AND b.h = a.h
+              GROUP BY p.id_a, p.id_b
+            )
+            SELECT p.id_a, p.id_b, p.est_jaccard,
+                   round(coalesce(i.i, 0) * 1.0
+                         / (sa.n + sb.n - coalesce(i.i, 0)), 4) AS exact_jaccard,
+                   round(abs(p.est_jaccard
+                         - round(coalesce(i.i, 0) * 1.0
+                                 / (sa.n + sb.n - coalesce(i.i, 0)), 4)), 4)
+                     AS abs_err
+            FROM vp p
+            LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
         """,
         "url_blocklist": r"""
             WITH pages AS (
