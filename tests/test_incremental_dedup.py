@@ -288,3 +288,44 @@ def test_minhash_estimate_audit(spark):
     assert r["abs_err"] == round(abs(r["est_jaccard"] - r["exact_jaccard"]), 4)
     # unrelated doc 3 pairs with nothing
     assert not any(3 in k for k in out)
+
+
+def test_incremental_exact_bucketed_ledger_is_shuffle_free(spark, tmp_path):
+    """SCALE.md claim, verified: a ledger stored bucketed by content_hash
+    joins with NO Exchange above its scan -- only the (small) new snapshot
+    shuffles into the ledger's bucketing."""
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = spark.range(0, 5000).select(
+            F.md5(F.col("id").cast("string")).alias("content_hash"))
+        spark.sql("DROP TABLE IF EXISTS test_bucketed_ledger")
+        (seen.write.bucketBy(8, "content_hash").sortBy("content_hash")
+             .mode("overwrite").saveAsTable("test_bucketed_ledger"))
+        ledger = spark.table("test_bucketed_ledger")
+        new = spark.range(5000, 6000).select(
+            F.col("id").alias("doc_id"), F.col("id").cast("string").alias("text"))
+        kept, _ = dedup.incremental_exact_dedup(new, ledger)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        scan_line = next(ln for ln in plan.splitlines()
+                         if "test_bucketed_ledger" in ln and "Scan" in ln)
+        assert "Bucketed: true" in scan_line
+        # no Exchange on the ledger branch: walk the scan's ancestor chain
+        # up to the anti-join (indentation strictly decreasing in the plan
+        # tree rendering) and require every ancestor to be exchange-free
+        lines = plan.splitlines()
+        scan_idx = lines.index(scan_line)
+        join_idx = max(i for i, ln in enumerate(lines[:scan_idx])
+                       if "LeftAnti" in ln)
+        indent = len(scan_line) - len(scan_line.lstrip())
+        i = scan_idx - 1
+        while i > join_idx:
+            ln = lines[i]
+            cur = len(ln) - len(ln.lstrip())
+            if cur < indent:
+                assert "Exchange" not in ln, ln
+                indent = cur
+            i -= 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_bucketed_ledger")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
