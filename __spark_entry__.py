@@ -969,6 +969,31 @@ def q_minhash_estimate_audit(spark, sf):
     return dedup.minhash_estimate_audit(d, threshold=0.8)
 
 
+def q_snapshot_diff(spark, sf):
+    """Crawl-over-crawl QA report (textstats.snapshot_diff): per-url
+    added/vanished/changed/unchanged via a (url, md5)-projected full-outer
+    join -- text never shuffles. Synthesized snapshots plant all four
+    statuses: doc_id % 7 vanishes, % 5 changes content, % 11 adds a fresh
+    url; the oracle replays the projection, the join, and the status CASE
+    in SQL."""
+    d = _docs(spark, sf)
+    old = d.select(
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("url"),
+        F.substring("text", 1, 60).alias("text"),
+    )
+    base_new = d.where(F.col("doc_id") % 7 != 0).select(
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 5 == 0, F.substring("text", 1, 59))
+        .otherwise(F.substring("text", 1, 60)).alias("text"),
+    )
+    added = d.where(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias("url"),
+        F.substring("text", 1, 30).alias("text"),
+    )
+    out = textstats.snapshot_diff(old, base_new.unionByName(added))
+    return out
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1521,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "latest_capture": q_latest_capture,
         "minhash_estimate_audit": q_minhash_estimate_audit,
+        "snapshot_diff": q_snapshot_diff,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -2388,6 +2414,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
             JOIN sizes sa ON sa.doc_id = p.id_a
             JOIN sizes sb ON sb.doc_id = p.id_b
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT 'p' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(substring(text, 1, 60)) AS h
+              FROM documents
+            ),
+            new AS (
+              SELECT 'p' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(CASE WHEN doc_id % 5 = 0 THEN substring(text, 1, 59)
+                              ELSE substring(text, 1, 60) END) AS h
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'q' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(substring(text, 1, 30)) AS h
+              FROM documents WHERE doc_id % 11 = 0
+            )
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.h IS NULL THEN 'added'
+                        WHEN n.h IS NULL THEN 'vanished'
+                        WHEN o.h = n.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.url = n.url
         """,
         "url_blocklist": r"""
             WITH pages AS (

@@ -101,3 +101,32 @@ def test_tfidf_k_truncation_and_tiebreak(spark):
         .orderBy("rank").collect()
     ]
     assert got == [("alpha", 1), ("bravo", 2), ("charlie", 3)]
+
+
+# -- snapshot diff ---------------------------------------------------------------
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")], ["url", "text"]
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")], ["url", "text"]
+    )
+    from wikisource_latin_text_cleaner_spark.operators.textstats import snapshot_diff
+
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "vanished", "u4": "added"}
+
+
+def test_snapshot_diff_never_shuffles_text(spark):
+    from wikisource_latin_text_cleaner_spark.operators.textstats import snapshot_diff
+
+    old = spark.createDataFrame([("u1", "x" * 10)], ["url", "text"])
+    new = spark.createDataFrame([("u1", "y" * 10)], ["url", "text"])
+    plan = snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    # the join operates on (url, md5) projections; no text column survives
+    # into any exchange
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text" not in ln

@@ -260,3 +260,39 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select("group", "term", "term_freq", "group_freq", "score", "rank")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-over-crawl change report: one row per url with status
+    ``added`` (url new this snapshot), ``vanished`` (gone), ``changed``
+    (content hash moved), or ``unchanged``. The standard QA table run
+    between consecutive snapshots -- a sudden spike in ``vanished`` or
+    ``changed`` is how crawl regressions and site-wide template changes
+    are caught before they poison training mixes. Inputs must be one row
+    per url (run ``dedup.latest_capture`` first on raw captures).
+
+    Scale shape: both sides project to (url, 16-byte md5) before the
+    full-outer join -- text never shuffles -- and the join key is the url
+    (effectively unique, skew-free). Output is corpus-sized; aggregate by
+    status downstream (partial-aggregatable count) for the report.
+    """
+    o = old.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("_h_old"),
+    )
+    n = new.select(
+        F.col(url_col).alias("url"),
+        F.md5(F.encode(F.col(text_col), "utf-8")).alias("_h_new"),
+    )
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("vanished"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, "url", "full_outer").select("url", status.alias("status"))
