@@ -329,3 +329,45 @@ def test_incremental_exact_bucketed_ledger_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS test_bucketed_ledger")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+# -- adversarial inputs over the session's new operators -------------------------
+
+def test_new_ops_survive_null_and_empty_text(spark):
+    """NULL/empty text must never throw and must behave by the documented
+    rule: null hashes can't cross-match a ledger; null text diffs as empty."""
+    from wikisource_latin_text_cleaner_spark.operators.textstats import (
+        snapshot_diff,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, None), (4, "real")],
+        "doc_id long, text string",
+    )
+    kept, seen = dedup.incremental_exact_dedup(df, None)
+    # the two NULL-text docs share the null group -> smallest id survives
+    assert _ids(kept) == [1, 2, 4]
+    # minhash: None maps to the empty-string signature -> 1 and 3 collapse,
+    # and "" shares that signature too (empty shingle universe)
+    mkept, _ = dedup.incremental_minhash_dedup(df, None, threshold=0.8)
+    assert _ids(mkept) == [1, 4]
+    # snapshot_diff: a url whose text is NULL on both sides is unchanged
+    old = spark.createDataFrame([("u1", None), ("u2", "x")],
+                                "url string, text string")
+    new = spark.createDataFrame([("u1", None), ("u2", None)],
+                                "url string, text string")
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed"}
+
+
+def test_domain_gate_null_scores_do_not_throw(spark):
+    from wikisource_latin_text_cleaner_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "d", None), (2, "d", 1.0), (3, "d", 1.0)],
+        "doc_id long, domain string, score double",
+    )
+    # avg ignores NULL scores; min_docs counts rows
+    kept = sampling.domain_quality_gate(df, "score", "domain",
+                                        min_mean=0.5, min_docs=3)
+    assert kept.count() == 3

@@ -281,13 +281,17 @@ def snapshot_diff(
     (effectively unique, skew-free). Output is corpus-sized; aggregate by
     status downstream (partial-aggregatable count) for the report.
     """
+    # NULL text hashes as empty text: a url captured with no payload must
+    # compare as present (else its NULL md5 reads as added/vanished)
     o = old.select(
         F.col(url_col).alias("url"),
-        F.md5(F.encode(F.col(text_col), "utf-8")).alias("_h_old"),
+        F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+         .alias("_h_old"),
     )
     n = new.select(
         F.col(url_col).alias("url"),
-        F.md5(F.encode(F.col(text_col), "utf-8")).alias("_h_new"),
+        F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+         .alias("_h_new"),
     )
     status = (
         F.when(F.col("_h_old").isNull(), F.lit("added"))
