@@ -994,6 +994,35 @@ def q_snapshot_diff(spark, sf):
     return out
 
 
+_IBLOOM_M, _IBLOOM_K = 4096, 3
+
+
+def q_incremental_bloom(spark, sf):
+    """Bloom-ledger snapshot dedup (dedup.incremental_bloom_dedup): the
+    prior snapshot is distilled to a 4096-bit Bloom filter of content
+    hashes -- deliberately small so the ~2.6% false-positive rate at
+    sf0.01 actually fires and the oracle must reproduce every over-drop
+    bit-for-bit (same md5 double-hash kernel as bloom_blocklist).
+    Within-batch dups still resolve exactly by hash groupBy."""
+    d = _docs(spark, sf).select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("text")
+    )
+    bucket = sampling.split_bucket_col(F.col("doc_id"))
+    prior_hashes = (
+        d.where(bucket < int(0.6 * sampling.SPLIT_BUCKETS))
+        .select(F.md5(F.encode("text", "utf-8")).alias("content_hash"))
+        .distinct()
+    )
+    bits = decontaminate.build_bloom(
+        prior_hashes, "content_hash", m_bits=_IBLOOM_M, k=_IBLOOM_K
+    )
+    new_snap = d.where(bucket >= int(0.6 * sampling.SPLIT_BUCKETS))
+    kept, _ = dedup.incremental_bloom_dedup(
+        new_snap, bits, _IBLOOM_M, _IBLOOM_K
+    )
+    return kept.select("doc_id", "lang")
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1547,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_capture": q_latest_capture,
         "minhash_estimate_audit": q_minhash_estimate_audit,
         "snapshot_diff": q_snapshot_diff,
+        "incremental_bloom": q_incremental_bloom,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -2437,6 +2467,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.h = n.h THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.url = n.url
+        """,
+        "incremental_bloom": f"""
+            -- Bloom-ledger re-derivation: positions from md5 double-hash
+            -- of the CONTENT HASH string, bits set by the prior snapshot,
+            -- a new doc dropped iff batch-non-canonical OR all
+            -- {_IBLOOM_K} positions set (false positives must match)
+            WITH d AS (
+              SELECT doc_id, lang, md5(substring(text, 1, 40)) AS ch,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {sampling.SPLIT_BUCKETS} AS bucket
+              FROM documents
+            ),
+            kpos AS (
+              SELECT doc_id, bucket,
+                     (CAST(('0x' || substr(md5(ch), 1, 8)) AS BIGINT)
+                      + u.i * CAST(('0x' || substr(
+                            md5(ch || '{decontaminate.BLOOM_SALT}'), 1, 8))
+                          AS BIGINT)) % {_IBLOOM_M} AS p
+              FROM d, UNNEST(range(0, {_IBLOOM_K})) AS u(i)
+            ),
+            bits AS (
+              SELECT DISTINCT p FROM kpos
+              WHERE bucket < {int(0.6 * sampling.SPLIT_BUCKETS)}
+            ),
+            newk AS (
+              SELECT doc_id, lang, ch FROM d
+              WHERE bucket >= {int(0.6 * sampling.SPLIT_BUCKETS)}
+            ),
+            canon AS (SELECT ch, min(doc_id) AS keeper FROM newk GROUP BY ch),
+            probe AS (
+              SELECT kp.doc_id, bool_and(b.p IS NOT NULL) AS member
+              FROM kpos kp LEFT JOIN bits b ON kp.p = b.p
+              WHERE kp.bucket >= {int(0.6 * sampling.SPLIT_BUCKETS)}
+              GROUP BY kp.doc_id
+            )
+            SELECT n.doc_id, n.lang
+            FROM newk n
+            JOIN canon c ON n.ch = c.ch AND n.doc_id = c.keeper
+            JOIN probe pr ON pr.doc_id = n.doc_id
+            WHERE NOT pr.member
         """,
         "url_blocklist": r"""
             WITH pages AS (

@@ -1344,3 +1344,48 @@ def minhash_estimate_audit(
             F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("abs_err"),
         )
     )
+
+
+def incremental_bloom_dedup(
+    new_df: DataFrame,
+    seen_bloom_bits,
+    m_bits: int,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Zero-join variant of ``incremental_exact_dedup``: the ledger is a
+    Bloom filter of previously-kept content hashes
+    (``decontaminate.build_bloom`` over the hash column), so the probe is
+    an O(k) in-closure bit gather -- NO shuffle against ledger state at
+    all. The trade: Bloom semantics. Nothing previously kept is ever
+    re-admitted (no false negatives), but a deterministic false-positive
+    fraction of genuinely-new docs is over-dropped -- size ``m_bits`` for
+    the tolerated loss, FP ~ (1 - e^(-k*n/m))^k. At 10^12 ledger entries
+    and a 0.1% loss budget that is ~2 TB of filter sharded across
+    executors, vs a 16 TB joinable hash table -- the dial between this and
+    the exact operator is (memory, loss) vs (shuffle, exactness).
+
+    Within-batch duplicates are still resolved EXACTLY (hash groupBy,
+    smallest id wins): the batch is one snapshot, exactness there is
+    cheap. Returns ``(kept, new_hashes)``; the caller ORs ``new_hashes``
+    into the next filter build (build_bloom ∪ is bitwise-or of packed
+    bitsets). NULL text never matches the filter (empty position array)
+    and passes through, matching the exact operator's null semantics.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .decontaminate import bloom_member_col
+
+    hashed = new_df.withColumn(
+        hash_col, F.md5(F.encode(F.col(text_col), "utf-8"))
+    )
+    canon = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+    batch_kept = hashed.join(canon.select(id_col), id_col, "left_semi")
+    member = bloom_member_col(F.col(hash_col), seen_bloom_bits, m_bits, k)
+    kept_h = batch_kept.where(~member)
+    if persist:
+        kept_h = kept_h.persist(StorageLevel.MEMORY_AND_DISK)
+    return kept_h.select(*new_df.columns), kept_h.select(hash_col)
