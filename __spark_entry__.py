@@ -1023,6 +1023,17 @@ def q_incremental_bloom(spark, sf):
     return kept.select("doc_id", "lang")
 
 
+def q_gopher_ablation(spark, sf):
+    """Gopher rule-ablation report (textstats.gopher_ablation): per rule,
+    how many docs fail it at all and for how many it is the SOLE failing
+    rule -- the marginal cost a threshold retune would win back, which the
+    first-fail ladder cannot express. One fused Catalyst projection, a
+    single-row partial agg, and a constant-size stack; the oracle
+    re-derives every flag from the shared _GOPHER_FEAT_CTES and replays
+    both counts with an 8-arm unpivot."""
+    return textstats.gopher_ablation(_docs(spark, sf), "text")
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1577,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_audit": q_minhash_estimate_audit,
         "snapshot_diff": q_snapshot_diff,
         "incremental_bloom": q_incremental_bloom,
+        "gopher_ablation": q_gopher_ablation,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -1761,6 +1773,43 @@ _MINHASH_SIG_CTES = """t AS (
               FROM wrapped GROUP BY doc_id, perm
             ),
             sigs AS (SELECT doc_id, list(m ORDER BY perm) AS sig FROM mins GROUP BY doc_id)"""
+
+
+#: Shared DuckDB re-derivation of the Gopher rule features (word/line
+#: arrays, mean word length, symbol/bullet/ellipsis/alpha fractions,
+#: distinct-stopword count) -- reused by the quality-gate and ablation
+#: oracles. Defined as an f-string so {_STOP_SQL} and the {{}}-escaped
+#: regex braces resolve exactly as in the original inline oracle.
+_GOPHER_FEAT_CTES = f"""base AS (
+              SELECT doc_id, text, length(text) AS L,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS ws,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x, ' ')),
+                                 x -> x <> '') AS ls
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, len(ws) AS nw,
+                CASE WHEN len(ws) > 0
+                     THEN list_sum(list_transform(ws, x -> length(x) * 1.0)) / len(ws)
+                     ELSE 0.0 END AS mwl,
+                CASE WHEN L > 0
+                     THEN length(regexp_replace(text, '[^#@^*\\\\~|<>=_{{}}]', '', 'g')) * 1.0 / L
+                     ELSE 0.0 END AS sym,
+                CASE WHEN len(ls) > 0
+                     THEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('•', '-', '*'))) * 1.0 / len(ls)
+                     ELSE 0.0 END AS bullet,
+                CASE WHEN len(ls) > 0
+                     THEN len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) * 1.0 / len(ls)
+                     ELSE 0.0 END AS ell,
+                CASE WHEN len(ws) > 0
+                     THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)
+                     ELSE 0.0 END AS alpha,
+                len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                                   {_STOP_SQL})) AS nstop
+              FROM base
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2507,6 +2556,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN canon c ON n.ch = c.ch AND n.doc_id = c.keeper
             JOIN probe pr ON pr.doc_id = n.doc_id
             WHERE NOT pr.member
+        """,
+        "gopher_ablation": f"""
+            WITH {_GOPHER_FEAT_CTES},
+            flags AS (
+              SELECT doc_id,
+                     CASE WHEN nw < 50 THEN 1 ELSE 0 END AS f0,
+                     CASE WHEN nw > 100000 THEN 1 ELSE 0 END AS f1,
+                     CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS f2,
+                     CASE WHEN sym > 0.1 THEN 1 ELSE 0 END AS f3,
+                     CASE WHEN bullet > 0.9 THEN 1 ELSE 0 END AS f4,
+                     CASE WHEN ell > 0.3 THEN 1 ELSE 0 END AS f5,
+                     CASE WHEN alpha < 0.8 THEN 1 ELSE 0 END AS f6,
+                     CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f7
+              FROM feat
+            ),
+            tot AS (
+              SELECT *, f0+f1+f2+f3+f4+f5+f6+f7 AS nfl FROM flags
+            ),
+            longf AS (
+              SELECT 'too_few_words' AS rule, f0 AS flag, nfl FROM tot
+              UNION ALL SELECT 'too_many_words', f1, nfl FROM tot
+              UNION ALL SELECT 'word_length', f2, nfl FROM tot
+              UNION ALL SELECT 'symbol_ratio', f3, nfl FROM tot
+              UNION ALL SELECT 'bullet_lines', f4, nfl FROM tot
+              UNION ALL SELECT 'ellipsis_lines', f5, nfl FROM tot
+              UNION ALL SELECT 'alpha_words', f6, nfl FROM tot
+              UNION ALL SELECT 'stopwords', f7, nfl FROM tot
+            )
+            SELECT rule, CAST(sum(flag) AS BIGINT) AS n_failing,
+                   CAST(sum(CASE WHEN flag = 1 AND nfl = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sole_failure
+            FROM longf GROUP BY rule
         """,
         "url_blocklist": r"""
             WITH pages AS (
@@ -4197,37 +4278,8 @@ def oracle_sql() -> dict[str, str]:
             -- char-bigram models + priors are trained in SQL (the student),
             -- (3) every doc is re-scored (log-lik + log prior, 6dp round,
             -- argmax with label-asc tiebreak), (4) per-lang agreement
-            WITH base AS (
-              SELECT doc_id, text, length(text) AS L,
-                     list_filter(string_split_regex(trim(text), '\\s+'),
-                                 x -> x <> '') AS ws,
-                     list_filter(list_transform(string_split(text, chr(10)),
-                                                x -> trim(x, ' ')),
-                                 x -> x <> '') AS ls
-              FROM documents
-            ),
-            feat AS (
-              SELECT doc_id, len(ws) AS nw,
-                CASE WHEN len(ws) > 0
-                     THEN list_sum(list_transform(ws, x -> length(x) * 1.0)) / len(ws)
-                     ELSE 0.0 END AS mwl,
-                CASE WHEN L > 0
-                     THEN length(regexp_replace(text, '[^#@^*\\\\~|<>=_{{}}]', '', 'g')) * 1.0 / L
-                     ELSE 0.0 END AS sym,
-                CASE WHEN len(ls) > 0
-                     THEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('•', '-', '*'))) * 1.0 / len(ls)
-                     ELSE 0.0 END AS bullet,
-                CASE WHEN len(ls) > 0
-                     THEN len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) * 1.0 / len(ls)
-                     ELSE 0.0 END AS ell,
-                CASE WHEN len(ws) > 0
-                     THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)
-                     ELSE 0.0 END AS alpha,
-                len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
-                                   {_STOP_SQL})) AS nstop
-              FROM base
-            ),
-            hlab AS (
+            WITH {_GOPHER_FEAT_CTES},
+                        hlab AS (
               SELECT doc_id, CASE
                 WHEN nw < 50 THEN 'drop'
                 WHEN nw > 100000 THEN 'drop'

@@ -294,3 +294,35 @@ def test_pipeline_gopher_gates_differential(spark):
             assert g["keep"] and g["drop_reasons"] == r["drop_reasons"]
     assert n_ladder > 0
     assert any(g["keep"] for g in gated.values())
+
+
+def test_gopher_ablation_consistent_with_first_fail(spark, sf_dir):
+    """Structural invariants tying the ablation report to the ladder:
+    n_failing >= first-fail attributions per rule, totals reconcile, and a
+    doc with zero flags is exactly a ladder-NULL doc."""
+    from pyspark.sql import functions as F
+
+    from wikisource_latin_text_cleaner_spark.functions import quality
+    from wikisource_latin_text_cleaner_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    abl = {r["rule"]: (r["n_failing"], r["n_sole_failure"])
+           for r in textstats.gopher_ablation(docs, "text").collect()}
+    flags = quality.gopher_rule_flags(F.col("text"))
+    assert set(abl) == set(flags)
+    ladder = (
+        docs.select(quality.gopher_first_fail(F.col("text")).alias("r"))
+        .groupBy("r").count().collect()
+    )
+    first_fail = {row["r"]: row["count"] for row in ladder}
+    for rule, (n_fail, n_sole) in abl.items():
+        assert 0 <= n_sole <= n_fail
+        # every first-fail attribution is a failure of that rule
+        assert first_fail.get(rule, 0) <= n_fail
+        # a sole failure is always attributed to itself by the ladder
+        assert n_sole <= first_fail.get(rule, 0)
+    # docs with no failing rule == ladder NULLs
+    flagged_any = docs.where(
+        __import__("functools").reduce(lambda a, b: a | b, flags.values())
+    ).count()
+    assert docs.count() - flagged_any == first_fail.get(None, 0)

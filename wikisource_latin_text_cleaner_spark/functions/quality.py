@@ -338,7 +338,7 @@ def repetition_flag_from_fracs(fracs_col) -> Column:
     return out
 
 
-def gopher_first_fail(
+def gopher_rule_flags(
     col,
     *,
     min_words: int = 50,
@@ -351,17 +351,12 @@ def gopher_first_fail(
     min_alpha_word_frac: float = 0.8,
     min_distinct_stopwords: int = 2,
     stopwords: list[str] | None = None,
-) -> Column:
-    """Gopher document-quality gate (Rae et al. 2021 sec. A1.1): NULL when
-    the document passes every rule, else the name of the FIRST failing rule
-    in the paper's order. All pure Catalyst -- one pass over the words /
-    lines arrays per rule family, no Python.
-
-    The stop-word rule defaults to the engine's corpus-derived STOPWORDS
-    (rules.STOPWORDS) rather than Gopher's 8 English function words so the
-    gate stays discriminative on non-English web text; pass
-    ``stopwords=["the","be","to","of","and","that","have","with"]`` for the
-    paper-exact variant.
+) -> dict:
+    """Per-rule boolean fail Columns for the Gopher quality ladder, keyed
+    by rule name IN THE PAPER'S ORDER (dicts preserve insertion order --
+    ``gopher_first_fail`` builds its CASE ladder from this, and the
+    ablation report counts each flag independently). Same thresholds and
+    stop-word note as ``gopher_first_fail``.
     """
     stops = sorted(stopwords) if stopwords is not None else STOPWORDS
     w = words(col)
@@ -397,16 +392,38 @@ def gopher_first_fail(
             F.array([F.lit(s) for s in stops]),
         )
     )
-    return (
-        F.when(nw < min_words, F.lit("too_few_words"))
-        .when(nw > max_words, F.lit("too_many_words"))
-        .when((mwl < min_mean_word_len) | (mwl > max_mean_word_len), F.lit("word_length"))
-        .when(symbol_ratio(col) > max_symbol_ratio, F.lit("symbol_ratio"))
-        .when(bullet_frac > max_bullet_line_frac, F.lit("bullet_lines"))
-        .when(ellipsis_frac > max_ellipsis_line_frac, F.lit("ellipsis_lines"))
-        .when(alpha_frac < min_alpha_word_frac, F.lit("alpha_words"))
-        .when(n_stop < min_distinct_stopwords, F.lit("stopwords"))
-    )
+    return {
+        "too_few_words": nw < min_words,
+        "too_many_words": nw > max_words,
+        "word_length": (mwl < min_mean_word_len) | (mwl > max_mean_word_len),
+        "symbol_ratio": symbol_ratio(col) > max_symbol_ratio,
+        "bullet_lines": bullet_frac > max_bullet_line_frac,
+        "ellipsis_lines": ellipsis_frac > max_ellipsis_line_frac,
+        "alpha_words": alpha_frac < min_alpha_word_frac,
+        "stopwords": n_stop < min_distinct_stopwords,
+    }
+
+
+def gopher_first_fail(col, **kwargs) -> Column:
+    """Gopher document-quality gate (Rae et al. 2021 sec. A1.1): NULL when
+    the document passes every rule, else the name of the FIRST failing rule
+    in the paper's order. All pure Catalyst -- one pass over the words /
+    lines arrays per rule family, no Python; the CASE ladder is composed
+    from ``gopher_rule_flags`` in its (paper) insertion order.
+
+    The stop-word rule defaults to the engine's corpus-derived STOPWORDS
+    (rules.STOPWORDS) rather than Gopher's 8 English function words so the
+    gate stays discriminative on non-English web text; pass
+    ``stopwords=["the","be","to","of","and","that","have","with"]`` for the
+    paper-exact variant.
+    """
+    ladder = None
+    for name, cond in gopher_rule_flags(col, **kwargs).items():
+        ladder = (
+            F.when(cond, F.lit(name)) if ladder is None
+            else ladder.when(cond, F.lit(name))
+        )
+    return ladder
 
 
 #: Doc-level C4 poison terms: any occurrence drops the whole document
