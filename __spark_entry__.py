@@ -1034,6 +1034,38 @@ def q_gopher_ablation(spark, sf):
     return textstats.gopher_ablation(_docs(spark, sf), "text")
 
 
+_PARA_EN = "the quick brown fox jumps over the lazy dog near the riverbank"
+
+
+def q_paragraph_langid(spark, sf):
+    """Paragraph-level language segmentation (segment.paragraph_langid +
+    the corpus-trained NB classifier): docs are synthesized as 3
+    paragraphs -- two 100-char slices of their own text around a planted
+    English sentence -- and every paragraph is classified independently,
+    then majority-folded per doc with lang-asc tiebreak and a 6dp
+    mixed_frac. (At 100-char granularity the NB leans hard on the en
+    prior, so the report shows heavy mixing -- classifier sharpness is
+    the nb_langid_confusion query's concern; THIS query pins the
+    segmentation plumbing.) The oracle re-derives NB training from the
+    shared _NB_TRAIN_CTES and replays paragraph synthesis, per-paragraph
+    argmax, and the doc-level majority fold entirely in SQL."""
+    from wikisource_latin_text_cleaner_spark.functions import lm
+
+    d = _docs(spark, sf, spread=True)
+    models, priors = lm.train_char_bigram_lm_by(d)
+    pred = lm.make_nb_classifier_udf(models, priors)
+    synth = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.substring("text", 1, 100),
+            F.lit(_PARA_EN),
+            F.substring("text", 101, 100),
+        ).alias("text"),
+    )
+    return segment.paragraph_langid(synth, pred)
+
+
 def q_url_blocklist(spark, sf):
     """RefinedWeb-style URL filtering (Penedo et al. 2023 sec 3.1): domain
     blocklist (broadcast join on the registrable domain, lowercased) plus
@@ -1589,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "incremental_bloom": q_incremental_bloom,
         "gopher_ablation": q_gopher_ablation,
+        "paragraph_langid": q_paragraph_langid,
         "url_blocklist": q_url_blocklist,
         "trained_perplexity": q_trained_perplexity,
         "semdedup_survivors": q_semdedup,
@@ -1810,6 +1843,39 @@ _GOPHER_FEAT_CTES = f"""base AS (
                                    {_STOP_SQL})) AS nstop
               FROM base
             )"""
+
+
+#: Shared DuckDB re-derivation of the corpus-trained NB language model
+#: (char-bigram counts per lang, row totals, priors) -- reused by the
+#: doc-level confusion oracle and the paragraph-level segmentation
+#: oracle. Plain string: no braces/placeholders in the kernel.
+_NB_TRAIN_CTES = """t AS (
+              SELECT doc_id, lang,
+                     translate(lower(text), '123456789', '000000000') AS s,
+                     length(translate(lower(text), '123456789', '000000000')) AS n
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, lang,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
+              FROM t, UNNEST(range(1, CAST(n AS INT))) AS u(i)
+              WHERE n >= 2
+            ),
+            big AS (
+              SELECT doc_id, lang,
+                     CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END AS i1,
+                     CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END AS i2
+              FROM ch
+            ),
+            cnt AS (SELECT lang, i1, i2, count(*) AS c FROM big
+                    GROUP BY lang, i1, i2),
+            rt  AS (SELECT lang, i1, sum(c) AS rs FROM cnt GROUP BY lang, i1),
+            pri AS (SELECT lang, count(*) AS n FROM documents
+                    WHERE lang IS NOT NULL GROUP BY lang),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM pri)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2588,6 +2654,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN flag = 1 AND nfl = 1 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_sole_failure
             FROM longf GROUP BY rule
+        """,
+        "paragraph_langid": f"""
+            -- paragraph-level NB segmentation: train from documents
+            -- (shared kernel), score each synthesized paragraph, argmax
+            -- per paragraph, majority-fold per doc
+            WITH {_NB_TRAIN_CTES},
+            paras AS (
+              SELECT doc_id, p.i AS para_idx,
+                     CASE p.i WHEN 1 THEN substring(text, 1, 100)
+                              WHEN 2 THEN '{_PARA_EN}'
+                              ELSE substring(text, 101, 100) END AS ptext
+              FROM documents, UNNEST(range(1, 4)) AS p(i)
+            ),
+            pt AS (
+              SELECT doc_id, para_idx,
+                     translate(lower(ptext), '123456789', '000000000') AS s,
+                     length(translate(lower(ptext), '123456789', '000000000'))
+                       AS n
+              FROM paras WHERE trim(ptext) <> ''
+            ),
+            pch AS (
+              SELECT doc_id, para_idx,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
+                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
+                            substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
+              FROM pt, UNNEST(range(1, CAST(n AS INT))) AS u(i)
+              WHERE n >= 2
+            ),
+            pbig AS (
+              SELECT doc_id, para_idx,
+                     CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END AS i1,
+                     CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END AS i2
+              FROM pch
+            ),
+            pll AS (
+              SELECT b.doc_id, b.para_idx, m.lang AS model_lang,
+                     sum(ln((COALESCE(c.c, 0) + 1)
+                            / (COALESCE(r.rs, 0) + 40.0))) AS s
+              FROM pbig b
+              CROSS JOIN pri m
+              LEFT JOIN cnt c ON c.lang = m.lang AND c.i1 = b.i1
+                             AND c.i2 = b.i2
+              LEFT JOIN rt  r ON r.lang = m.lang AND r.i1 = b.i1
+              GROUP BY b.doc_id, b.para_idx, m.lang
+            ),
+            pscored AS (
+              SELECT pa.doc_id, pa.para_idx, m.lang AS model_lang,
+                     round(COALESCE(pll.s, 0) + ln(m.n / tot.tn), 6) AS score
+              FROM pt pa
+              CROSS JOIN pri m
+              CROSS JOIN tot
+              LEFT JOIN pll ON pll.doc_id = pa.doc_id
+                           AND pll.para_idx = pa.para_idx
+                           AND pll.model_lang = m.lang
+            ),
+            ppred AS (
+              SELECT doc_id, para_idx, model_lang,
+                     row_number() OVER (PARTITION BY doc_id, para_idx
+                                        ORDER BY score DESC,
+                                                 model_lang ASC) AS rn
+              FROM pscored
+            ),
+            pcnt AS (
+              SELECT doc_id, model_lang AS plang, count(*) AS cnt
+              FROM ppred WHERE rn = 1 GROUP BY doc_id, model_lang
+            ),
+            ranked AS (
+              SELECT doc_id, plang, cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, plang ASC) AS rn,
+                     sum(cnt) OVER (PARTITION BY doc_id) AS total,
+                     count(*) OVER (PARTITION BY doc_id) AS nl,
+                     max(cnt) OVER (PARTITION BY doc_id) AS mc
+              FROM pcnt
+            )
+            SELECT doc_id, plang AS majority_lang,
+                   CAST(total AS BIGINT) AS n_paras,
+                   CAST(nl AS BIGINT) AS n_langs,
+                   round(1 - mc * 1.0 / total, 6) AS mixed_frac
+            FROM ranked WHERE rn = 1
         """,
         "url_blocklist": r"""
             WITH pages AS (
@@ -4212,37 +4359,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS id_sum
             FROM tiled GROUP BY lang, ppx_bucket
         """,
-        "nb_langid_confusion": """
+        "nb_langid_confusion": f"""
             -- NB re-derivation: per-lang bigram models + priors trained
             -- in SQL, per-doc per-model log-likelihood + log prior,
             -- 6dp round, argmax with lang-asc tiebreak
-            WITH t AS (
-              SELECT doc_id, lang,
-                     translate(lower(text), '123456789', '000000000') AS s,
-                     length(translate(lower(text), '123456789', '000000000')) AS n
-              FROM documents
-            ),
-            ch AS (
-              SELECT doc_id, lang,
-                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
-                            substr(s, CAST(u.i AS INT), 1)) - 1 AS raw1,
-                     strpos('abcdefghijklmnopqrstuvwxyz0 .,;:!?''"-()',
-                            substr(s, CAST(u.i AS INT) + 1, 1)) - 1 AS raw2
-              FROM t, UNNEST(range(1, CAST(n AS INT))) AS u(i)
-              WHERE n >= 2
-            ),
-            big AS (
-              SELECT doc_id, lang,
-                     CASE WHEN raw1 < 0 THEN 39 ELSE raw1 END AS i1,
-                     CASE WHEN raw2 < 0 THEN 39 ELSE raw2 END AS i2
-              FROM ch
-            ),
-            cnt AS (SELECT lang, i1, i2, count(*) AS c FROM big
-                    GROUP BY lang, i1, i2),
-            rt  AS (SELECT lang, i1, sum(c) AS rs FROM cnt GROUP BY lang, i1),
-            pri AS (SELECT lang, count(*) AS n FROM documents
-                    WHERE lang IS NOT NULL GROUP BY lang),
-            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM pri),
+            WITH {_NB_TRAIN_CTES},
             ll AS (
               SELECT b.doc_id, m.lang AS model_lang,
                      sum(ln((COALESCE(c.c, 0) + 1)
