@@ -89,6 +89,11 @@ HEADLINE = (
     # snapshot-over-snapshot near-dup dedup against a signature ledger
     # (UDF signatures for both sides + LSH band probe + anti-join)
     "incremental_minhash",
+    # trained-model stages added late round 3: NB training + per-paragraph
+    # classification with the doc-level majority fold, and the Gopher
+    # rule-ablation single-pass report
+    "paragraph_langid",
+    "gopher_ablation",
 )
 
 
