@@ -403,3 +403,66 @@ def test_incremental_bloom_ledger(spark):
                                   ["doc_id", "text"])
     kept3, _ = dedup.incremental_bloom_dedup(snap3, bits2, M, K)
     assert _ids(kept3) == [31]
+
+
+def test_corpus_line_dedup_scoped_python_twin(spark):
+    """Scoped rule vs an independent pure-Python twin over a mixed fixture
+    (several domains, shared lines, blanks, keep_first both ways)."""
+    import itertools
+    from collections import Counter
+
+    rows = []
+    doms = ["a.com", "b.org", "c.net"]
+    lines_pool = ["PROMO", "body %d", "All rights reserved.", "", "  ",
+                  "unique %d %s"]
+    n = 0
+    for d, i in itertools.product(doms, range(4)):
+        n += 1
+        text = "\n".join([
+            "PROMO" if i % 2 == 0 else f"body {i}",
+            "All rights reserved.",
+            "" if i % 3 == 0 else f"unique {n} {d}",
+            f"tail {d}" if i < 2 else "tail shared",
+        ])
+        rows.append((n, d, text))
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+
+    def py_twin(rows, min_count, keep_first):
+        cnt = Counter()
+        for _id, d, t in rows:
+            for ln in t.split("\n"):
+                if ln.strip() != "":
+                    cnt[(d, ln)] += 1
+        heavy = {k for k, c in cnt.items() if c >= min_count}
+        first = {}
+        if keep_first:
+            for _id, d, t in sorted(rows):
+                for pos, ln in enumerate(t.split("\n")):
+                    key = (d, ln)
+                    if key in heavy and key not in first:
+                        first[key] = (_id, pos)
+                    elif key in heavy and (_id, pos) < first[key]:
+                        first[key] = (_id, pos)
+        out = {}
+        for _id, d, t in rows:
+            kept = []
+            for pos, ln in enumerate(t.split("\n")):
+                key = (d, ln)
+                if ln.strip() != "" and key in heavy:
+                    if keep_first and first.get(key) == (_id, pos):
+                        kept.append(ln)
+                    continue
+                kept.append(ln)
+            out[_id] = "\n".join(kept)
+        return out
+
+    for min_count, keep_first in [(2, False), (2, True), (3, False)]:
+        got = {
+            r["doc_id"]: r["text"]
+            for r in dedup.corpus_line_dedup(
+                df, min_count=min_count, keep_first=keep_first,
+                scope_col="domain",
+            ).collect()
+        }
+        assert got == py_twin(rows, min_count, keep_first), (
+            min_count, keep_first)

@@ -82,3 +82,22 @@ def test_paragraph_langid_majority_and_mixing(spark):
     assert out[2]["mixed_frac"] == 0.0
     assert out[3]["majority_lang"] == "en"  # tie breaks lang-asc
     assert out[3]["mixed_frac"] == 0.5
+
+
+def test_paragraph_langid_plan_shape(spark):
+    """One Arrow classify pass, NO window (the majority fold is a
+    partial-aggregatable min_by, not a rank)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from wikisource_latin_text_cleaner_spark.operators import segment
+
+    @pandas_udf("string")
+    def fake_lang(texts):
+        import pandas as pd
+        return pd.Series(["x"] * len(texts))
+
+    df = spark.createDataFrame([(1, "a\n\nb")], ["doc_id", "text"])
+    plan = (segment.paragraph_langid(df, fake_lang)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert plan.count("ArrowEvalPython") == 1
