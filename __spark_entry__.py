@@ -426,6 +426,28 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_cluster_keep_best(spark, sf):
+    """Quality-aware near-dup retention (RefinedWeb/FineWeb step): cluster
+    the verified n-gram Jaccard pairs, then keep the highest-stopword-ratio
+    doc per cluster (ties -> smallest doc_id); unclustered docs survive as
+    singletons. Skew-proof by construction: max(struct(q,-id)) aggregation
+    partial-combines a mega cluster map-side instead of window-sorting it
+    in one task. Oracle: the dedup_clusters transitive closure + the
+    stopword-ratio expression + a SQL window argmax."""
+    d = _docs(spark, sf, spread=True).select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_near_duplicates(d, n=3, threshold=0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    reps = dedup.cluster_representatives(
+        d, clusters, quality.stopword_ratio(F.col("text"))
+    )
+    return reps.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "cluster_size",
+        F.round("quality", 4).alias("quality"),
+    )
+
+
 def q_hash_split_counts(spark, sf):
     """Deterministic hash-based train/val/test split (stable across runs,
     engines, and cluster sizes -- no leakage through re-shuffles)."""
@@ -1585,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_chunks": q_char_chunks,
         "vocabulary_top100": q_vocabulary_top100,
         "dedup_clusters": q_dedup_clusters,
+        "cluster_keep_best": q_cluster_keep_best,
         "hash_split_counts": q_hash_split_counts,
         "domain_cap": q_domain_cap,
         "stratified_sample": q_stratified_sample,
@@ -2226,6 +2249,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id,
                    CAST(least(id, min(reach)) AS BIGINT) AS cluster_id
             FROM walk GROUP BY id
+        """,
+        "cluster_keep_best": f"""
+            -- dedup_clusters transitive closure + stopword-ratio quality +
+            -- window argmax: the kept representative per duplicate cluster
+            WITH RECURSIVE grams AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_transform(
+                         range(0, greatest(len(string_split_regex(lower(text), '\\s+')) - 3, 0) + 1),
+                         i -> array_to_string(
+                                list_slice(string_split_regex(lower(text), '\\s+'),
+                                           i + 1, i + 3), ' ')))
+                       AS g
+              FROM documents
+            ),
+            rawpairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+              WHERE round(len(list_intersect(a.g, b.g)) * 1.0
+                    / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.8
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM rawpairs
+              UNION
+              SELECT id_b, id_a FROM rawpairs
+            ),
+            walk AS (
+              SELECT s AS id, d AS reach FROM edges
+              UNION
+              SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s
+            ),
+            clusters AS (
+              SELECT id AS doc_id,
+                     CAST(least(id, min(reach)) AS BIGINT) AS cluster_id
+              FROM walk GROUP BY id
+            ),
+            labeled AS (
+              SELECT d.doc_id,
+                     coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                     CASE WHEN len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                               x -> x <> '')) > 0
+                     THEN len(list_filter(
+                            list_transform(
+                              list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                          x -> x <> ''),
+                              x -> regexp_replace(x, '[^\\w]', '', 'g')),
+                            x -> list_contains({_STOP_SQL}, x))) * 1.0
+                          / len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                            x -> x <> ''))
+                     ELSE 0.0 END AS q
+              FROM documents d LEFT JOIN clusters c USING (doc_id)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(cluster_size AS BIGINT) AS cluster_size,
+                   round(q, 4) AS quality
+            FROM (
+              SELECT doc_id, cluster_id, q,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY q DESC, doc_id ASC) AS rn
+              FROM labeled
+            ) WHERE rn = 1
         """,
         "decontamination": r"""
             WITH grams AS (

@@ -1261,3 +1261,39 @@ def test_dsir_gumbel_resampling_deterministic_and_weight_biased(spark):
 
     with pytest.raises(ValueError, match="gumbel_temp"):
         sampling.dsir_select(pool, target, k=5, gumbel_temp=0.0)
+
+
+def test_cluster_representatives_argmax_and_singletons(spark):
+    """Highest-quality doc wins its cluster; quality ties break to the
+    smallest id; docs in no cluster survive as their own singletons."""
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.1), (8, 0.5), (20, 0.0)],
+        "doc_id long, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, cluster_id long"
+    )
+    reps = dedup.cluster_representatives(df, clusters, F.col("q"))
+    got = {r.cluster_id: (r.doc_id, r.cluster_size, r.quality)
+           for r in reps.collect()}
+    # cluster 1: 2 and 3 tie at 0.9 -> smallest id (2) kept, size 3
+    # cluster 7: 8 beats 7, size 2; doc 20 unclustered -> singleton
+    assert got == {1: (2, 3, 0.9), 7: (8, 2, 0.5), 20: (20, 1, 0.0)}
+
+
+def test_cluster_representatives_aggregates_without_window(spark):
+    """The mega-cluster defense: the plan must be a partial-aggregable
+    HashAggregate, never a Window sort that co-locates a whole cluster
+    in one task."""
+    df = spark.createDataFrame([(i, float(i % 5)) for i in range(100)],
+                               "doc_id long, q double")
+    clusters = spark.createDataFrame(
+        [(i, 0) for i in range(100)], "id long, cluster_id long"
+    )
+    reps = dedup.cluster_representatives(df, clusters, F.col("q"))
+    plan = reps._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+    # one mega cluster of 100: argmax quality (4.0) then min id among ties
+    row = reps.collect()[0]
+    assert (row.doc_id, row.cluster_id, row.cluster_size, row.quality) == (4, 0, 100, 4.0)

@@ -1389,3 +1389,59 @@ def incremental_bloom_dedup(
     if persist:
         kept_h = kept_h.persist(StorageLevel.MEMORY_AND_DISK)
     return kept_h.select(*new_df.columns), kept_h.select(hash_col)
+
+
+# -- quality-aware cluster retention ------------------------------------------
+
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup retention (the RefinedWeb/FineWeb step that
+    follows clustering): keep exactly ONE document per duplicate cluster --
+    the highest-``quality`` one, ties broken by smallest id -- and keep
+    every unclustered document as its own singleton cluster.
+
+    ``clusters`` is ``duplicate_clusters`` output ``(id, cluster_id)``;
+    ``quality`` is any deterministic numeric Column over ``df`` (e.g.
+    ``quality.stopword_ratio(F.col("text"))`` or a Gopher composite).
+
+    Scale design -- this is deliberately an AGGREGATION, not a window:
+    ``row_number() OVER (PARTITION BY cluster_id ...)`` must co-locate and
+    sort every member of a cluster in one task, so the pathological web
+    case (one boilerplate page near-duplicated 10^8 times -> one mega
+    cluster) turns into one straggler task holding 10^8 rows.
+    ``max(struct(q, -id))`` instead partial-aggregates: each map task
+    reduces its slice of the mega cluster to a single row before the
+    shuffle, so the reduce side sees at most one row per cluster per
+    upstream partition regardless of skew. Struct max compares fields
+    left-to-right, so ``(q, -id)`` = argmax quality, then argmin id.
+
+    Returns one row per cluster: ``(id_col, cluster_id, cluster_size,
+    quality)`` with quality as computed (un-rounded).
+
+    No reference precedent (the reference keeps last-write-wins only,
+    Text Cleaner/step7_create_merged_datasets.py:62-66); task-brief
+    extension.
+    """
+    labeled = (
+        df.join(
+            clusters.withColumnRenamed("id", id_col), id_col, "left"
+        ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                quality.alias("q"), (-F.col(id_col)).alias("neg_id")
+            )
+        ).alias("best"),
+        F.count("*").alias("cluster_size"),
+    )
+    return best.select(
+        (-F.col("best.neg_id")).cast("long").alias(id_col),
+        "cluster_id",
+        "cluster_size",
+        F.col("best.q").alias("quality"),
+    )
