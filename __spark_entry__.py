@@ -398,6 +398,54 @@ def q_html_extract(spark, sf):
     )
 
 
+def q_main_content(spark, sf):
+    """jusText/trafilatura-style main-content extraction: each document is
+    embedded as the two content blocks of a synthesized page that also
+    carries a high-link-density nav block, a sub-min-words block, and a
+    link-farm footer; the block filter (>=5 words, link density <=0.5)
+    must keep exactly the content halves and drop all three boilerplate
+    blocks. Oracle: re-derives the kept text + block counts from the raw
+    text in SQL (the constant blocks contribute fixed counts)."""
+    d = _docs(spark, sf, spread=True)
+
+    def esc(col):
+        return F.replace(
+            F.replace(
+                F.replace(col, F.lit("&"), F.lit("&amp;")),
+                F.lit("<"), F.lit("&lt;"),
+            ),
+            F.lit(">"), F.lit("&gt;"),
+        )
+
+    pa = F.expr("substring(text, 1, cast(ceil(length(text) / 2.0) AS INT))")
+    pb = F.expr(
+        "substring(text, cast(ceil(length(text) / 2.0) AS INT) + 1,"
+        " length(text))"
+    )
+    page = F.concat(
+        F.lit('<html><body><div>see also <a href="/1">alpha beta gamma'
+              ' delta epsilon</a></div><p>'),
+        esc(pa),
+        F.lit("</p><p>tiny</p><p>"),
+        esc(pb),
+        F.lit('</p><footer><a href="/h">home</a> <a href="/a">about us'
+              "</a></footer></body></html>"),
+    )
+    extracted = d.select(
+        "doc_id",
+        htmlx.main_content_udf()(F.encode(page, "utf-8")).alias("mc"),
+    )
+    return extracted.select(
+        "doc_id",
+        F.md5(F.encode("mc.text", "utf-8")).alias("main_md5"),
+        F.col("mc.n_kept").alias("n_blocks_kept"),
+        F.col("mc.n_total").alias("n_blocks_total"),
+        F.round(1 - F.col("mc.n_kept") / F.col("mc.n_total"), 4).alias(
+            "boiler_frac"
+        ),
+    )
+
+
 def q_char_chunks(spark, sf):
     """Passage segmentation: fixed 512-char windows (pure Catalyst;
     SQL-expressible, so oracle-checked)."""
@@ -1604,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "ngram_jaccard_near_dups": q_ngram_jaccard_near_dups,
         "html_extract": q_html_extract,
+        "main_content": q_main_content,
         "char_chunks": q_char_chunks,
         "vocabulary_top100": q_vocabulary_top100,
         "dedup_clusters": q_dedup_clusters,
@@ -2169,6 +2218,41 @@ def oracle_sql() -> dict[str, str]:
                        l -> l <> ''),
                      chr(10))) AS extracted_md5
             FROM documents
+        """,
+        "main_content": """
+            -- re-derive the block filter from the raw text: the two
+            -- content halves are kept iff >=5 words; the synthesized nav /
+            -- tiny / footer blocks are constant and always dropped (they
+            -- contribute exactly 3 to n_blocks_total)
+            WITH parts AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       substring(text, 1, CAST(ceil(length(text) / 2.0) AS INT)),
+                       '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS pa,
+                     trim(regexp_replace(
+                       substring(text, CAST(ceil(length(text) / 2.0) AS INT) + 1),
+                       '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ') AS pb
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id, pa, pb,
+                     len(list_filter(string_split(pa, ' '), x -> x <> '')) >= 5 AS keep_a,
+                     len(list_filter(string_split(pb, ' '), x -> x <> '')) >= 5 AS keep_b,
+                     CAST(pa <> '' AS INT) + CAST(pb <> '' AS INT) + 3 AS n_total
+              FROM parts
+            )
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_filter([CASE WHEN keep_a THEN pa END,
+                                  CASE WHEN keep_b THEN pb END],
+                                 x -> x IS NOT NULL),
+                     chr(10))) AS main_md5,
+                   CAST(CAST(keep_a AS INT) + CAST(keep_b AS INT) AS BIGINT)
+                     AS n_blocks_kept,
+                   CAST(n_total AS BIGINT) AS n_blocks_total,
+                   round(1 - (CAST(keep_a AS INT) + CAST(keep_b AS INT)) * 1.0
+                         / n_total, 4) AS boiler_frac
+            FROM scored
         """,
         "char_chunks": """
             SELECT doc_id, t.i AS chunk_idx,

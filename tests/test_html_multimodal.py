@@ -185,3 +185,64 @@ def test_meta_robots_plan_is_jvm_only(spark):
     df = _robots_df(spark).select(H.meta_robots_flags(F.col("html")).alias("f"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+# -- main-content block extraction --------------------------------------------
+
+PAGE = (
+    b'<html><body>'
+    b'<div class="nav"><a href="/">home</a> <a href="/a">about</a> '
+    b'<a href="/c">contact our team</a></div>'
+    b'<p>gallia est omnis divisa in partes tres quarum unam</p>'
+    b'<p>ok</p>'
+    b'<div>see also <a href="/x">alpha beta gamma delta epsilon zeta</a></div>'
+    b'<p>arma virumque cano troiae qui primus ab oris</p>'
+    b'<footer>&copy; 2026 <a href="/t">terms</a></footer>'
+    b'</body></html>'
+)
+
+
+def test_main_content_keeps_prose_drops_boilerplate():
+    text, kept, total = H.extract_main_content(PAGE)
+    assert text == (
+        "gallia est omnis divisa in partes tres quarum unam\n"
+        "arma virumque cano troiae qui primus ab oris"
+    )
+    assert (kept, total) == (2, 6)
+
+
+def test_main_content_block_scores():
+    blocks = H.main_content_blocks(PAGE)
+    texts = [b[0] for b in blocks]
+    assert texts[0] == "home about contact our team"
+    # nav: all text is anchor text except the 2 inter-anchor spaces (25/27)
+    assert blocks[0][2] == 25 / 27
+    # "see also <a>six words</a>": 8 words but anchor-dominated
+    see_also = next(b for b in blocks if b[0].startswith("see also"))
+    assert see_also[1] == 8 and see_also[2] > 0.5
+    # prose blocks carry zero link chars
+    assert blocks[1] == ("gallia est omnis divisa in partes tres quarum unam", 9, 0.0)
+
+
+def test_main_content_link_density_boundary():
+    # 5 words, anchor text exactly half the chars -> density 0.5 is KEPT
+    page = b"<p>aaaa bbbb <a href='/'>cccc dddd e</a>x</p>"
+    blocks = H.main_content_blocks(page)
+    (text, words, ld), = blocks
+    assert text == "aaaa bbbb cccc dddd ex"
+    assert words == 5 and ld == 0.5
+    out, kept, total = H.extract_main_content(page)
+    assert kept == 1 and out == text
+
+
+def test_main_content_adversarial_inputs():
+    assert H.extract_main_content(None) == ("", 0, 0)
+    assert H.extract_main_content(b"") == ("", 0, 0)
+    assert H.extract_main_content(b"no tags at all but six words here") == (
+        "no tags at all but six words here", 1, 1)
+    # unclosed anchor: no </a> match -> counts as plain text, not link
+    t, k, n = H.extract_main_content(b"<p>one two three four <a href='/'>five six</p>")
+    assert t == "one two three four five six" and (k, n) == (1, 1)
+    # invalid utf-8 decodes with replacement, never throws
+    t, k, n = H.extract_main_content(b"<p>\xff\xfe valid words follow here now</p>")
+    assert k == 1

@@ -63,6 +63,84 @@ def html_to_text_udf(payloads: pd.Series) -> pd.Series:
     return payloads.map(html_to_text)
 
 
+#: inline anchor contents (group 1). No backreference, non-greedy + (?s):
+#: the pattern must stay RE2-compatible so the DuckDB oracle can reuse it.
+_A_TAG = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+#: explicit ASCII class (NOT \s: Python's \s is unicode-aware, RE2's is
+#: ASCII -- the policy must collapse the same characters in both engines)
+_WS_RUN = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _norm_inline(fragment: str) -> str:
+    """Strip remaining inline tags, unescape entities, collapse ASCII
+    whitespace runs to one space, strip edge spaces."""
+    s = _ANY_TAG.sub("", fragment)
+    s = _htmlmod.unescape(s)
+    return _WS_RUN.sub(" ", s).strip(" ")
+
+
+def main_content_blocks(
+    payload: bytes | None,
+) -> list[tuple[str, int, float]]:
+    """jusText/trafilatura-style block segmentation: split the page on
+    block-level tags and score each block for the boilerplate filter.
+
+    Returns ``[(text, n_words, link_density)]`` per non-empty block, in
+    document order, where ``link_density`` is normalized-anchor-text chars
+    over normalized-block-text chars. Same exactly-specified policy rules
+    as :func:`html_to_text` (ASCII whitespace class, stdlib unescape) so
+    the DuckDB oracle harness can replicate it. No reference precedent
+    (the reference ingests pre-extracted wiki text); task-brief extension
+    for raw Common-Crawl pages.
+    """
+    if not payload:
+        return []
+    raw = payload.decode("utf-8", errors="replace")
+    raw = _SCRIPT_STYLE.sub("", raw)
+    raw = _COMMENT.sub("", raw)
+    blocks: list[tuple[str, int, float]] = []
+    for frag in _BLOCK_TAG.split(raw):
+        text = _norm_inline(frag)
+        if not text:
+            continue
+        link_chars = sum(len(_norm_inline(m)) for m in _A_TAG.findall(frag))
+        blocks.append((text, len(text.split(" ")), link_chars / len(text)))
+    return blocks
+
+
+def extract_main_content(
+    payload: bytes | None,
+    min_words: int = 5,
+    max_link_density: float = 0.5,
+) -> tuple[str, int, int]:
+    """Main-content extraction: keep blocks with >= ``min_words`` words AND
+    link density <= ``max_link_density`` (nav bars, footers, 'see also'
+    link farms fail one or both); join survivors with newlines.
+
+    Returns ``(main_text, n_blocks_kept, n_blocks_total)`` so callers can
+    derive a per-page boilerplate fraction.
+    """
+    blocks = main_content_blocks(payload)
+    kept = [
+        t
+        for t, w, ld in blocks
+        if w >= min_words and ld <= max_link_density
+    ]
+    return "\n".join(kept), len(kept), len(blocks)
+
+
+def main_content_udf():
+    """Deferred factory (struct-typed pandas UDFs need an active session
+    to parse their DDL schema; see quality.repetition_fracs_udf)."""
+
+    @pandas_udf("text string, n_kept long, n_total long")
+    def extract_main(payloads: pd.Series) -> pd.DataFrame:
+        rows = [extract_main_content(p) for p in payloads]
+        return pd.DataFrame(rows, columns=["text", "n_kept", "n_total"])
+
+    return extract_main
+
+
 def escape_text_as_html(text: str) -> str:
     """Inverse test helper: minimal escaping whose round trip through
     html_to_text recovers the whitespace-normalized original."""
