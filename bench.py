@@ -150,7 +150,10 @@ def build_spark(cpus: int) -> SparkSession:
 
 #: reps per query.  ALWAYS >=2 (never record a single sample: round 2's
 #: single-rep path logged a 30.9s contention spike for a ~1.1s query).
-REPS = int(os.environ.get("BENCH_REPS", "2"))
+#: Default 3: this hypervisor swings deliverable compute ~4x between
+#: minutes (see calibration history), and with interleaved passes the
+#: per-query min needs only ONE pass to land in a quiet window.
+REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def main() -> None:
