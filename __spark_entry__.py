@@ -666,6 +666,43 @@ def q_media_video_frames(spark, sf):
     )
 
 
+#: planted pHash perturbations for media_phash_near_dups: per original
+#: image, a "re-encoded copy" whose hash differs by 0, 2, or 8 bits --
+#: the 8-bit variant is a candidate (it shares 3 of 4 blocks) that the
+#: exact verify must REJECT at max_hamming=3.
+_PHASH_MASK_2BIT = (1 << 40) | (1 << 5)
+_PHASH_MASK_8BIT = 0xFF << 20
+
+
+def q_media_phash_near_dups(spark, sf):
+    """Multimodal near-dup: hamming join over image perceptual hashes
+    (re-uploaded / re-encoded image detection) via the generic
+    dedup.hash_near_duplicates banding primitive. Each image gets a
+    synthetic re-encode whose pHash differs by 0 / 2 / 8 bits by
+    doc_id % 9; expected pairs are exactly the 0- and 2-bit variants.
+    Oracle: all-pairs bit_count(xor) in SQL over the same parquet bytes."""
+    media = spark.read.parquet(
+        multimodal.ensure_synth_media_parquet(_MEDIA_PARQUET, 300, seed=9)
+    )
+    feats = multimodal.extract_image_features(media).select("doc_id", "phash")
+    mask = (
+        F.when(F.col("doc_id") % 9 == 0, F.lit(0))
+        .when(F.col("doc_id") % 9 == 3, F.lit(_PHASH_MASK_2BIT))
+        .otherwise(F.lit(_PHASH_MASK_8BIT))
+    )
+    variants = feats.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    allhashes = feats.unionByName(variants)
+    pairs = dedup.hash_near_duplicates(
+        allhashes, hash_col="phash", max_hamming=3, blocks=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 # ---- non-SQL-expressible ops (rows-only driver check; covered by the
 # stronger byte-parity goldens vs the live reference, tests/gen_goldens.py) --
 
@@ -1677,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxicity_stats": q_toxicity_stats,
         "media_image_features": q_media_image_features,
         "media_video_frames": q_media_video_frames,
+        "media_phash_near_dups": q_media_phash_near_dups,
         "pipeline_decisions": q_pipeline_decisions,
         "pipeline_clean_sample": q_pipeline_clean_sample,
         "langid_histogram": q_langid_histogram,
@@ -4960,6 +4998,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST((greatest(meta.duration_ms // 1000, 1) - 1) * 1000 AS INT)
                      AS last_ts_ms
             FROM '{_MEDIA_PARQUET}' WHERE media_type = 'video'
+        """,
+        "media_phash_near_dups": f"""
+            -- ALL-pairs hamming truth (no banding): a pair the Spark
+            -- side's block-combination candidates missed would appear
+            -- here as an extra row
+            WITH f AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(sha256(lower(hex(payload))), 1, 15)
+                          AS BIGINT) AS phash
+              FROM '{_MEDIA_PARQUET}' WHERE media_type = 'image'
+            ),
+            v AS (
+              SELECT doc_id + 100000 AS doc_id, xor(phash, mask) AS phash
+              FROM (
+                SELECT doc_id, phash,
+                       CASE doc_id % 9
+                         WHEN 0 THEN 0
+                         WHEN 3 THEN {_PHASH_MASK_2BIT}
+                         ELSE {_PHASH_MASK_8BIT}
+                       END AS mask
+                FROM f
+              )
+            ),
+            u AS (SELECT * FROM f UNION ALL SELECT * FROM v)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM u a JOIN u b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
         "sentence_chunks": """
             -- greedy sentence packing as a recursive recurrence: sentence

@@ -1297,3 +1297,27 @@ def test_cluster_representatives_aggregates_without_window(spark):
     # one mega cluster of 100: argmax quality (4.0) then min id among ties
     row = reps.collect()[0]
     assert (row.doc_id, row.cluster_id, row.cluster_size, row.quality) == (4, 0, 100, 4.0)
+
+
+def test_hash_near_duplicates_planted_masks(spark):
+    """Generic 64-bit hamming join: 0- and 2-bit perturbations pair, an
+    8-bit perturbation is a banding CANDIDATE (shares 3 of 4 blocks: the
+    flipped byte sits inside one 16-bit block) that exact verify rejects."""
+    base = 0x0123456789ABCDE  # < 2^60, like the media pHash
+    rows = [
+        (1, base),
+        (2, base),                      # hamming 0
+        (3, base ^ ((1 << 40) | 1)),    # hamming 2
+        (4, base ^ (0xFF << 20)),       # hamming 8 -> candidate, rejected
+        (5, 0x7FFABCDEF123456),         # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    pairs = dedup.hash_near_duplicates(df, hash_col="h", max_hamming=3, blocks=4)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+
+
+def test_hash_near_duplicates_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_hamming"):
+        dedup.hash_near_duplicates(None, hash_col="h", max_hamming=4, blocks=4)

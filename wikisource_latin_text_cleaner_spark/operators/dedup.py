@@ -525,9 +525,38 @@ def simhash_near_duplicates(
     """
     if not (0 <= max_hamming < blocks <= 64):
         raise ValueError("need 0 <= max_hamming < blocks <= 64")
+    sigs = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sim"))
+    return hash_near_duplicates(
+        sigs, hash_col="sim", id_col="id",
+        max_hamming=max_hamming, blocks=blocks,
+        persist_signatures=persist_signatures,
+    )
+
+
+def hash_near_duplicates(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    persist_signatures: bool = True,
+) -> DataFrame:
+    """Generic hamming near-dup join over a PRECOMPUTED 64-bit hash column
+    -- the banding core of ``simhash_near_duplicates``, factored out so any
+    64-bit signature joins the same way: text SimHash, image perceptual
+    hashes (media pHash near-dup = re-encoded/re-uploaded image detection),
+    audio chromaprints. Same Manku block-combination banding (exhaustive by
+    pigeonhole at every (blocks, max_hamming) setting), same exact JVM-side
+    ``bit_count(xor)`` verification, same ``blocks`` scale dial -- see
+    simhash_near_duplicates' docstring for the 10^12-tier arithmetic.
+
+    Returns ``(id_a, id_b, hamming)`` pairs with hamming <= max_hamming.
+    """
+    if not (0 <= max_hamming < blocks <= 64):
+        raise ValueError("need 0 <= max_hamming < blocks <= 64")
     from itertools import combinations
 
-    sigs = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sim"))
+    sigs = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sim"))
     if persist_signatures:
         from pyspark import StorageLevel
 
