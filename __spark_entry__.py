@@ -547,6 +547,38 @@ def q_url_canonical_dedup(spark, sf):
     )
 
 
+def q_outlink_domains(spark, sf):
+    """Outlink graph aggregation (crawl-frontier / link-spam analysis):
+    extract anchor hrefs with pure-Catalyst regexp_extract_all, explode,
+    canonicalize (tracking params / default ports / fragments / trailing
+    slashes), reduce to registrable target domains. Pages are synthesized
+    with three links each -- a tracked same-source item link, an http:80
+    news link with a trailing slash, and a fragment-bearing CDN asset --
+    so every canonicalization rule fires on every row in both engines."""
+    d = _docs(spark, sf)
+    page = F.concat(
+        F.lit('<html><body><p>x</p><a href="https://Example-'),
+        F.col("source"), F.lit(".com/item/"),
+        ((F.col("doc_id") * 7) % 1000).cast("string"),
+        F.lit('?utm_source=feed&x=1">one</a> <a href="http://news.example.org:80/story/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('/">two</a> <a href="https://cdn-'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example-static.net/a.js#frag">three</a></body></html>'),
+    )
+    links = d.select(F.explode(urlsx.extract_outlinks(page)).alias("raw"))
+    canon = links.select(urlsx.canonicalize_url(F.col("raw")).alias("url"))
+    return (
+        canon.select(urlsx.registrable_domain(F.col("url")).alias("domain"), "url")
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.count_distinct("url").alias("n_unique_targets"),
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_set("url")))).alias("targets_md5"),
+        )
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic per-language stratified sample (training-mix ratios):
     nested md5-bucket selection, engine-portable, zero shuffle."""
@@ -1705,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "stratified_sample": q_stratified_sample,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "outlink_domains": q_outlink_domains,
         "decontamination": q_decontamination,
         # the remaining three (bpe / pipeline byte-fidelity) are the only
         # rows-only entries; everything else below carries an oracle
@@ -3005,6 +3038,47 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT canon_url) AS n_canonical,
                    md5(array_to_string(list_sort(list(canon_url)), '|')) AS canon_md5
             FROM canon GROUP BY source
+        """,
+        "outlink_domains": f"""
+            -- same page synthesis, same (?i) href pattern, same
+            -- canonicalization twin, same last-two-label domain rule
+            WITH pages AS (
+              SELECT '<html><body><p>x</p><a href="https://Example-'
+                     || source || '.com/item/'
+                     || CAST((doc_id * 7) % 1000 AS VARCHAR)
+                     || '?utm_source=feed&x=1">one</a>'
+                     || ' <a href="http://news.example.org:80/story/'
+                     || CAST(doc_id % 50 AS VARCHAR)
+                     || '/">two</a> <a href="https://cdn-'
+                     || CAST(doc_id % 5 AS VARCHAR)
+                     || '.example-static.net/a.js#frag">three</a></body></html>'
+                       AS page
+              FROM documents
+            ),
+            links AS (
+              SELECT u.raw
+              FROM pages,
+                   unnest(regexp_extract_all(page,
+                     '(?i)<a\\s[^>]*href="([^"]*)"', 1)) AS u(raw)
+            ),
+            canon AS (
+              SELECT {urlsx.canonicalize_url_sql('raw')} AS url FROM links
+            ),
+            doms AS (
+              SELECT regexp_extract(
+                       regexp_replace(
+                         lower(regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/:?#]+)', 1)),
+                         ':\\d+$', ''),
+                       '([^.]+\\.[^.]+)$', 1) AS domain,
+                     url
+              FROM canon
+            )
+            SELECT domain, count(*) AS n_links,
+                   count(DISTINCT url) AS n_unique_targets,
+                   md5(array_to_string(list_sort(list(DISTINCT url)), '|'))
+                     AS targets_md5
+            FROM doms GROUP BY domain
         """,
         "stratified_sample": """
             WITH b AS (

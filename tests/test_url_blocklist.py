@@ -57,3 +57,21 @@ def test_rows_flagged_never_dropped(spark):
     out = urls.flag_blocked_urls(df, bl)
     assert out.count() == 10
     assert out.where(F.col("url_blocked")).count() == 10
+
+
+def test_extract_outlinks_order_case_and_policy(spark):
+    from wikisource_latin_text_cleaner_spark.functions import urls as U
+
+    html = (
+        '<p>x</p><A HREF="https://a.example.com/1">one</A>'
+        '<a class="y" href="http://b.example.org/2?q=3">two</a>'
+        "<a href='https://single.quoted/out-of-policy'>three</a>"
+        '<a href="">empty kept</a><a name="anchor-no-href">four</a>'
+    )
+    df = spark.createDataFrame([(html,)], "page string")
+    got = df.select(U.extract_outlinks(F.col("page")).alias("links")).first().links
+    assert got == [
+        "https://a.example.com/1",
+        "http://b.example.org/2?q=3",
+        "",
+    ]

@@ -128,3 +128,18 @@ def flag_blocked_urls(
         .drop("_bl")
         .select(*df.columns, "url_domain", "url_kw_hits", "url_blocked")
     )
+
+
+#: double-quoted hrefs of anchor tags (group 1). RE2-compatible by
+#: construction (no lookaround/backreference) so the identical pattern
+#: runs in Catalyst (Java regex) and the DuckDB oracle.
+OUTLINK_RE = r'(?i)<a\s[^>]*href="([^"]*)"'
+
+
+def extract_outlinks(col) -> Column:
+    """All double-quoted anchor hrefs of an HTML string, in document
+    order, as array<string> -- pure Catalyst (regexp_extract_all), no
+    Python. Single-quoted/unquoted hrefs are out of policy (rare in real
+    crawls and ambiguous to terminate with one RE2 pass); the link-graph
+    consumer joins this against canonicalize_url + registrable_domain."""
+    return F.regexp_extract_all(col, F.lit(OUTLINK_RE), F.lit(1))
