@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip period/genre classification columns")
     p.add_argument("--html-fallback", action="store_true",
                    help="derive text from the html column when text is null")
+    p.add_argument("--html-extractor", choices=("simple", "main-content"),
+                   default="simple",
+                   help="fallback extractor: 'simple' keeps every block, "
+                        "'main-content' drops boilerplate blocks by "
+                        "min-words + link-density (jusText-style)")
     p.add_argument("--drop-noindex", action="store_true",
                    help="honor <meta name=robots> noindex opt-outs: drop "
                         "those pages BEFORE the pipeline (publisher opt-out, "
@@ -148,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
         pii_scrub=web,
         salt_partitions=args.salt_partitions,
         html_fallback=args.html_fallback,
+        html_extractor=args.html_extractor.replace("-", "_"),
         rule_metrics=args.rule_metrics,
         url_blocklist=(
             tuple(args.url_blocklist.split(",")) if args.url_blocklist else None

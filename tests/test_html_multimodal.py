@@ -246,3 +246,56 @@ def test_main_content_adversarial_inputs():
     # invalid utf-8 decodes with replacement, never throws
     t, k, n = H.extract_main_content(b"<p>\xff\xfe valid words follow here now</p>")
     assert k == 1
+
+
+def test_pipeline_main_content_extractor(spark):
+    """html_extractor='main_content' strips boilerplate blocks during the
+    fallback; 'simple' keeps them; rows that already have text never touch
+    either extractor; unknown names fail loudly."""
+    import pytest as _pytest
+
+    from wikisource_latin_text_cleaner_spark.operators.pipeline import (
+        PipelineConfig,
+        QualityFilterPipeline,
+    )
+    from wikisource_latin_text_cleaner_spark.sources import synth
+
+    prose = (
+        "gallia est omnis divisa in partes tres quarum unam incolunt belgae "
+        "aliam aquitani tertiam qui ipsorum lingua celtae nostra galli "
+        "appellantur hi omnes lingua institutis legibus inter se differunt "
+        "gallos ab aquitanis garumna flumen a belgis matrona et sequana "
+        "dividit horum omnium fortissimi sunt belgae propterea quod a cultu "
+        "atque humanitate provinciae longissime absunt minimeque ad eos "
+        "mercatores saepe commeant atque ea quae ad effeminandos animos "
+        "pertinent important proximique sunt germanis qui trans rhenum "
+        "incolunt quibuscum continenter bellum gerunt"
+    )
+    page = (
+        '<html><body><div class="nav"><a href="/">home</a> <a href="/a">about'
+        '</a> <a href="/c">contact us now</a></div>'
+        f"<p>{prose}</p>"
+        '<footer><a href="/t">terms</a> <a href="/p">privacy</a></footer>'
+        "</body></html>"
+    ).encode()
+    rows = [("u-html", None, page, None, "la"),
+            ("u-text", None, page, prose + " iam habeo textum", "la")]
+    pages = spark.createDataFrame(rows, schema=synth.PAGES_SCHEMA_DDL)
+
+    def run(extractor):
+        pipe = QualityFilterPipeline(PipelineConfig(
+            langid=False, classify=False,
+            html_fallback=True, html_extractor=extractor,
+        ))
+        return {r.url: r for r in pipe.transform(pages).collect()}
+
+    main = run("main_content")
+    simple = run("simple")
+    # boilerplate stripped on the main-content path only
+    assert "home about" not in main["u-html"].clean_text
+    assert prose.split()[0] in main["u-html"].clean_text
+    assert "home about" in simple["u-html"].clean_text
+    # rows that already have text bypass extraction identically
+    assert main["u-text"].clean_text == simple["u-text"].clean_text
+    with _pytest.raises(ValueError, match="html_extractor"):
+        run("tarfilatura")

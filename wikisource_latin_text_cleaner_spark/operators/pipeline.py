@@ -45,6 +45,11 @@ class PipelineConfig:
     #: often carry only the raw capture); the html column stays pruned from
     #: the scan when this is off
     html_fallback: bool = False
+    #: which extractor the html fallback uses: "simple" (every block kept,
+    #: functions/html.py:html_to_text) or "main_content" (jusText-style
+    #: boilerplate block filter, extract_main_content). Same Arrow batch
+    #: shape either way; only consulted when html_fallback is on.
+    html_extractor: str = "simple"
     #: surface per-orthography-rule substitution counts (ref A4 per-pattern
     #: stats, step5_standardize_orthography.py:302-338) as a rule_hits map
     #: column, aggregated into the metrics table. Counting rides the subn
@@ -96,14 +101,21 @@ class QualityFilterPipeline:
         """
         cfg = self.config
         if cfg.html_fallback:
-            from ..functions.html import html_to_text_udf
+            from ..functions.html import html_to_text_udf, main_content_udf
 
             # the UDF sees NULL payload for rows that already have text, so
             # they pay no extraction; rows with neither stay NULL (null_text
             # drop reason), not empty-string
-            extracted = html_to_text_udf(
-                F.when(F.col("text").isNull(), F.col("html"))
-            )
+            payload = F.when(F.col("text").isNull(), F.col("html"))
+            if cfg.html_extractor == "main_content":
+                extracted = main_content_udf()(payload).getField("text")
+            elif cfg.html_extractor == "simple":
+                extracted = html_to_text_udf(payload)
+            else:
+                raise ValueError(
+                    f"html_extractor must be 'simple' or 'main_content', "
+                    f"got {cfg.html_extractor!r}"
+                )
             df = pages.select(
                 "url", "warc_ts",
                 F.coalesce(
