@@ -94,6 +94,11 @@ HEADLINE = (
     # rule-ablation single-pass report
     "paragraph_langid",
     "gopher_ablation",
+    # added round 3, session 2: jusText-style block extraction (Arrow
+    # struct UDF over synthesized pages) and the pure-Catalyst outlink
+    # extraction -> canonicalize -> domain aggregation
+    "main_content",
+    "outlink_domains",
 )
 
 
