@@ -923,6 +923,32 @@ def q_corpus_line_keep_first(spark, sf):
     )
 
 
+def q_doc_line_dedup(spark, sf):
+    """WITHIN-document duplicate-line removal (the third granularity after
+    corpus-wide and per-domain): repeated nav/boilerplate lines inside ONE
+    page collapse to their first occurrence, document order preserved.
+    Pure Catalyst -- array_distinct is an O(L) JVM hash pass per doc, no
+    shuffle, no Python, no O(L^2) membership fold. Lines are synthesized
+    with planted within-doc repeats (1st and 2nd slices repeated); the
+    oracle re-derives first-occurrence-keeping in SQL with a min(i) per
+    (doc, line) + ordered string_agg."""
+    d = _docs(spark, sf, spread=True)
+    lines = F.array(
+        F.substring("text", 1, 40),
+        F.substring("text", 41, 40),
+        F.substring("text", 1, 40),
+        F.substring("text", 81, 40),
+        F.substring("text", 41, 40),
+    )
+    deduped = F.array_distinct(lines)
+    return d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines_in"),
+        F.size(deduped).alias("n_lines_out"),
+        F.md5(F.encode(F.concat_ws("\n", deduped), "utf-8")).alias("cleaned_md5"),
+    )
+
+
 def _synth_domain_lines(d: DataFrame) -> DataFrame:
     """5-line synthetic pages over (doc_id, source): line 2 is per-SOURCE
     boilerplate ('Visit <source> portal' on even ids, ~12x per source),
@@ -1760,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_periods": q_classify_periods,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_keep_first": q_corpus_line_keep_first,
+        "doc_line_dedup": q_doc_line_dedup,
         "domain_line_dedup": q_domain_line_dedup,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
@@ -2538,6 +2565,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS cleaned_len,
                    md5(text) AS cleaned_md5
             FROM rebuilt
+        """,
+        "doc_line_dedup": """
+            -- first-occurrence-keeping within-doc line dedup: min(i) per
+            -- (doc, line), rejoined in original order
+            WITH lined AS (
+              SELECT doc_id,
+                     [substring(text, 1, 40), substring(text, 41, 40),
+                      substring(text, 1, 40), substring(text, 81, 40),
+                      substring(text, 41, 40)] AS ls
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, ls[t.i + 1] AS line, t.i AS i, len(ls) AS n_in
+              FROM lined, unnest(range(0, len(ls))) AS t(i)
+            ),
+            firsts AS (
+              SELECT doc_id, line, min(i) AS i, any_value(n_in) AS n_in
+              FROM pos GROUP BY doc_id, line
+            )
+            SELECT doc_id,
+                   CAST(any_value(n_in) AS INT) AS n_lines_in,
+                   CAST(count(*) AS INT) AS n_lines_out,
+                   md5(string_agg(line, chr(10) ORDER BY i)) AS cleaned_md5
+            FROM firsts GROUP BY doc_id
         """,
         "corpus_line_keep_first": r"""
             -- C4 "all but one": the (doc_id, pos)-minimal occurrence of
