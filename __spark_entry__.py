@@ -462,6 +462,28 @@ def q_vocabulary_top100(spark, sf):
     return segment.vocabulary(_docs(spark, sf), top_n=100)
 
 
+def q_oov_rate(spark, sf):
+    """Out-of-vocabulary-rate quality signal (CCNet-adjacent): train the
+    corpus top-1000 vocabulary (one explode+agg pass, deterministic
+    count-desc/word-asc ties), then score each doc's token fraction
+    outside it, averaged per lang. The vocab collect is top-k bounded (the
+    accepted driver-side pattern, like the BPE top-50k); scoring is one
+    JVM-side IN-list filter pass -- no Python, no second shuffle. Oracle:
+    full SQL re-derivation of BOTH the vocabulary and the scoring,
+    zero-token docs pinned at 0.0."""
+    d = _docs(spark, sf, spread=True)
+    vocab = [r.word for r in segment.vocabulary(d, top_n=1000).collect()]
+    w = quality.words(F.lower(F.col("text")))
+    oov = F.when(
+        F.size(w) > 0,
+        F.size(F.filter(w, lambda x: ~x.isin(vocab))) / F.size(w),
+    ).otherwise(F.lit(0.0))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(oov), 4).alias("avg_oov_rate"),
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup duplicate CLUSTERS: verified n-gram Jaccard pairs ->
     connected components (min-label propagation); one (doc_id, cluster_id)
@@ -1787,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_line_keep_first": q_corpus_line_keep_first,
         "doc_line_dedup": q_doc_line_dedup,
+        "oov_rate": q_oov_rate,
         "domain_line_dedup": q_domain_line_dedup,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
@@ -2565,6 +2588,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS cleaned_len,
                    md5(text) AS cleaned_md5
             FROM rebuilt
+        """,
+        "oov_rate": """
+            -- re-derive the top-1000 vocabulary AND the per-doc scoring;
+            -- zero-token docs re-enter via the LEFT JOIN at oov = 0.0
+            WITH toks AS (
+              SELECT doc_id, u.word
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x <> '') AS ws
+                    FROM documents), unnest(ws) AS u(word)
+            ),
+            vocab AS (
+              SELECT word FROM (
+                SELECT word, count(*) AS c FROM toks GROUP BY word
+                ORDER BY c DESC, word ASC LIMIT 1000
+              )
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1.0
+                       / count(*) AS oov
+              FROM toks LEFT JOIN vocab v USING (word)
+              GROUP BY doc_id
+            )
+            SELECT d.lang, count(*) AS n_docs,
+                   round(avg(coalesce(p.oov, 0.0)), 4) AS avg_oov_rate
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+            GROUP BY d.lang
         """,
         "doc_line_dedup": """
             -- first-occurrence-keeping within-doc line dedup: min(i) per
