@@ -462,6 +462,31 @@ def q_vocabulary_top100(spark, sf):
     return segment.vocabulary(_docs(spark, sf), top_n=100)
 
 
+def q_mojibake_stats(spark, sf):
+    """Encoding-QA signal: rate of the classic UTF-8-read-as-Latin-1
+    mojibake marker ('Ã' -- every 2-byte UTF-8 sequence mis-decoded
+    through Latin-1 starts with it). Corruption is planted
+    deterministically (doc_id % 13 swaps 'a' -> 'Ã¡'); detection
+    is literal-replace length arithmetic, pure Catalyst, identical in SQL.
+    A real pipeline flags score > threshold for re-decode or drop."""
+    d = _docs(spark, sf, spread=True)
+    corrupted = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.replace(F.col("text"), F.lit("a"), F.lit("Ã¡")),
+    ).otherwise(F.col("text"))
+    marks = F.length(corrupted) - F.length(
+        F.replace(corrupted, F.lit("Ã"), F.lit(""))
+    )
+    score = F.when(
+        F.length(corrupted) > 0, marks / F.length(corrupted)
+    ).otherwise(F.lit(0.0))
+    return d.select("lang", score.alias("s")).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("s") > 0.001).cast("long")).alias("n_flagged"),
+        F.round(F.avg("s"), 4).alias("avg_mojibake_rate"),
+    )
+
+
 def q_oov_rate(spark, sf):
     """Out-of-vocabulary-rate quality signal (CCNet-adjacent): train the
     corpus top-1000 vocabulary (one explode+agg pass, deterministic
@@ -1810,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_keep_first": q_corpus_line_keep_first,
         "doc_line_dedup": q_doc_line_dedup,
         "oov_rate": q_oov_rate,
+        "mojibake_stats": q_mojibake_stats,
         "domain_line_dedup": q_domain_line_dedup,
         "incremental_exact": q_incremental_exact,
         "incremental_minhash": q_incremental_minhash,
@@ -2588,6 +2614,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, length(text) AS cleaned_len,
                    md5(text) AS cleaned_md5
             FROM rebuilt
+        """,
+        "mojibake_stats": """
+            WITH c AS (
+              SELECT lang,
+                     CASE WHEN doc_id % 13 = 0
+                          THEN replace(text, 'a', 'Ã¡') ELSE text END AS t
+              FROM documents
+            ),
+            s AS (
+              SELECT lang,
+                     CASE WHEN length(t) > 0
+                          THEN (length(t) - length(replace(t, 'Ã', '')))
+                               * 1.0 / length(t)
+                          ELSE 0.0 END AS s
+              FROM c
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN s > 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_flagged,
+                   round(avg(s), 4) AS avg_mojibake_rate
+            FROM s GROUP BY lang
         """,
         "oov_rate": """
             -- re-derive the top-1000 vocabulary AND the per-doc scoring;
