@@ -167,6 +167,45 @@ def main() -> None:
         return ", ".join(f"{r['docs_per_sec']:,.0f}" for r in raw[cores])
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # Append this run to the persistent history FIRST, then render the
+    # history section from the whole file -- a rewrite of BASELINE.md must
+    # never lose prior runs (one did, and took the measurement narrative
+    # with it; the honest cross-round summary lives in the data now).
+    hist_path = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+    with open(hist_path, "a") as hf:
+        hf.write(json.dumps({
+            "efficiency": round(eff, 3),
+            "best": {str(c): best[c]["docs_per_sec"] for c in (N, N4, PEAK)},
+            "all_reps": {str(c): [r["docs_per_sec"] for r in raw[c]]
+                         for c in (N, N4, PEAK)},
+            "calibration": {"before": cal_before, "after": cal_after},
+            "rows": ROWS,
+        }) + "\n")
+    with open(hist_path) as hf:
+        history = [json.loads(line) for line in hf if line.strip()]
+    effs = [h["efficiency"] for h in history]
+    hist_lines = "\n".join(
+        f"- run {i+1}: efficiency {h['efficiency']:.3f}, peak "
+        f"{max(h['best'].values()):,.0f} docs/s, 32p-ALU brackets "
+        f"{h['calibration']['before'][-1]['mops']:.0f}/"
+        f"{h['calibration']['after'][-1]['mops']:.0f} Mops"
+        for i, h in enumerate(history)
+    )
+    hist_section = f"""
+## Measurement history (all runs of this harness, oldest first)
+
+Earlier-round context: round-2 windows measured 0.972 / 0.895 / 0.711
+(the last with the ALU brackets proving the box 2.2x degraded mid-run);
+round 3 measured 0.937, 0.865, and 0.943 on end-of-round code with a
+quiet box. Runs recorded by this file's harness since then
+(`BENCH/scaling_runs.jsonl` holds full raw reps + calibrations):
+
+{hist_lines}
+
+Best recorded efficiency: {max(effs):.3f}. The honest summary remains
+"0.86-0.97 when the hypervisor is quiet, never below 0.8 except when the
+calibration brackets prove the box degraded mid-run".
+"""
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured baselines
 
@@ -196,7 +235,7 @@ AQE off + arrow batch 512 (see module docstring for why).
 | local[{PEAK}] (whole box) | {best[PEAK]['docs_per_sec']:,} | {raw_rows(PEAK)} | {best[PEAK]['docs_per_sec']/PEAK:,.0f} |
 
 **speedup N→4N: {ratio:.2f}x  →  scaling efficiency = {ratio:.2f}/4 = {eff:.3f}**
-
+{hist_section}
 Why this transfers to a real cluster: the pipeline is embarrassingly
 parallel — one fused `scan -> ArrowEvalPython -> project` stage per
 partition, zero shuffles in the transform (only the optional salted
