@@ -497,13 +497,17 @@ def q_oov_rate(spark, sf):
     full SQL re-derivation of BOTH the vocabulary and the scoring,
     zero-token docs pinned at 0.0."""
     d = _docs(spark, sf, spread=True)
-    vocab = [r.word for r in segment.vocabulary(d, top_n=1000).collect()]
-    w = quality.words(F.lower(F.col("text")))
+    vocab = [r.word for r in
+             segment.vocabulary(d, top_n=1000, doc_counts=False).collect()]
+    # project the words array ONCE: referencing the split inside three agg
+    # expressions would evaluate it three times per doc (no CSE across
+    # aggregate arguments); measured 1.9x on the scoring pass at sf0.1
+    proj = d.select("lang", quality.words(F.lower(F.col("text"))).alias("w"))
     oov = F.when(
-        F.size(w) > 0,
-        F.size(F.filter(w, lambda x: ~x.isin(vocab))) / F.size(w),
+        F.size("w") > 0,
+        F.size(F.filter("w", lambda x: ~x.isin(vocab))) / F.size("w"),
     ).otherwise(F.lit(0.0))
-    return d.groupBy("lang").agg(
+    return proj.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(oov), 4).alias("avg_oov_rate"),
     )

@@ -99,6 +99,12 @@ HEADLINE = (
     # extraction -> canonicalize -> domain aggregation
     "main_content",
     "outlink_domains",
+    # added round 3, session 3: the remaining per-doc Catalyst signals —
+    # within-doc line dedup (array_distinct), OOV rate vs the corpus-trained
+    # top-1k vocabulary, and the mojibake marker-rate encoding QA
+    "doc_line_dedup",
+    "oov_rate",
+    "mojibake_stats",
 )
 
 

@@ -47,6 +47,14 @@ def test_vocabulary(spark):
     assert v == {"alpha": (1, 1), "beta": (3, 2), "gamma": (1, 1)}
     top1 = segment.vocabulary(df, top_n=1).collect()
     assert [(r.word, r.n_occurrences) for r in top1] == [("beta", 3)]
+    # frequency-only mode: same words/counts/order, no n_docs column, and
+    # no count_distinct in the plan (the cheap shuffle shape)
+    freq = segment.vocabulary(df, top_n=2, doc_counts=False)
+    assert freq.columns == ["word", "n_occurrences"]
+    assert [(r.word, r.n_occurrences) for r in freq.collect()] == [
+        ("beta", 3), ("alpha", 1)]
+    plan = freq._jdf.queryExecution().executedPlan().toString()
+    assert "distinct" not in plan.lower()
 
 
 def test_paragraph_langid_majority_and_mixing(spark):

@@ -70,7 +70,8 @@ def train_bpe(
     from ..operators.segment import vocabulary
 
     rows = (
-        vocabulary(df, text_col=text_col, id_col=id_col, top_n=top_words)
+        vocabulary(df, text_col=text_col, id_col=id_col, top_n=top_words,
+                   doc_counts=False)
         .select("word", "n_occurrences")
         .collect()
     )
