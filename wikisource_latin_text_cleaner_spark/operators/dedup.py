@@ -28,6 +28,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+
+def _persist_forced(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + count(): cache AND fill it, eagerly.
+
+    Every near-dup operator here computes an expensive frame (signature /
+    shingle / fingerprint UDF output) that fans out into 2+ subtrees of the
+    SAME downstream action -- self-join sides, a stats agg plus the join, a
+    union's two branches.  A lazy ``persist`` does NOT make those subtrees
+    share the work: Spark materializes broadcast exchanges as concurrent
+    jobs and submits independent shuffle-map stages (e.g. a sort-merge
+    join's two children) in parallel, so with AQE off every concurrent
+    consumer finds an unfilled cache and recomputes the frame from scratch.
+    Event-log measurement on a 40k-doc ``minhash_dedup``: the signature UDF
+    stage ran 4-5x per action (841 s of task time where one pass costs
+    165 s) and local[32] ran SLOWER than local[8].  (AQE hides the self-join
+    case by reusing one exchange for identical children, but heterogeneous
+    fan-outs -- groupBy + join + anti-join -- race even under AQE.)
+
+    The count() fills the cache in exactly one pass; every consumer then
+    reads it.  This is the in-session analog of materializing the signature
+    table to storage before the LSH join -- which is what a 100 TB run does
+    anyway (see module docstring).  Cost: one scheduler round-trip and the
+    loss of construction-time laziness, both negligible against a UDF pass.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
+
 # -- deterministic hashing helpers (no PYTHONHASHSEED dependence) -----------
 
 _MERSENNE = np.int64((1 << 61) - 1)
@@ -246,9 +276,7 @@ def winnowing_near_duplicates(
     fps = df.select(F.col(id_col).alias("id"),
                     F.explode(winnow_udf(text_col)).alias("fp"))
     if persist_fingerprints:
-        from pyspark.storagelevel import StorageLevel
-
-        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+        fps = _persist_forced(fps)
     if max_df is not None:
         n_docs = df.count()
         # absolute floor of 5: a fingerprint in a handful of docs is the
@@ -333,9 +361,7 @@ def minhash_band_candidates(
     sig_udf = signature_udf if signature_udf is not None else minhash_udf
     sigs = df.select(F.col(id_col).alias("id"), sig_udf(text_col).alias("sig"))
     if persist_signatures:
-        from pyspark.storagelevel import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = _persist_forced(sigs)
     bands_df = sigs.select(
         "id",
         F.explode(
@@ -414,9 +440,7 @@ def minhash_near_duplicates(
     """
     sigs = df.select(F.col(id_col).alias("id"), minhash_udf(text_col).alias("sig"))
     if persist_signatures:
-        from pyspark.storagelevel import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = _persist_forced(sigs)
     bands_df = sigs.select(
         "id",
         "sig",
@@ -558,9 +582,7 @@ def hash_near_duplicates(
 
     sigs = df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sim"))
     if persist_signatures:
-        from pyspark import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = _persist_forced(sigs)
     block_exprs = _simhash_block_exprs(F.col("sim"), blocks)
     keys = [
         # combination index seeds the hash so equal block VALUES in
@@ -620,9 +642,7 @@ def ngram_jaccard_pairs(
         ).alias("grams"),
     )
     if persist_grams:
-        from pyspark.storagelevel import StorageLevel
-
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        grams = _persist_forced(grams)
     a = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
     b = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
@@ -744,9 +764,7 @@ def embedding_near_duplicates(
     sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      F.explode(buckets_udf(vec_col)).alias("bucket"))
     if persist_signatures:
-        from pyspark.storagelevel import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = _persist_forced(sigs)
     a = sigs.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = sigs.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0),
@@ -824,7 +842,6 @@ def corpus_line_dedup(
     each feeds two branches and recomputing them would re-aggregate the
     corpus.
     """
-    from pyspark.storagelevel import StorageLevel
 
     scope_sel = [F.col(scope_col).alias("_scope")] if scope_col else []
     keys = (["_scope"] if scope_col else []) + ["_h"]
@@ -840,7 +857,7 @@ def corpus_line_dedup(
                 F.md5(F.encode("_line", "utf-8")).alias("_h"))
     )
     if persist_line_hashes:
-        nb_hashes = nb_hashes.persist(StorageLevel.MEMORY_AND_DISK)
+        nb_hashes = _persist_forced(nb_hashes)
 
     heavy = (
         nb_hashes.groupBy(*keys)
@@ -848,13 +865,12 @@ def corpus_line_dedup(
              F.min(F.struct("_id", "_pos")).alias("_first"))
         .where(F.col("_cnt") >= min_count)
         .select(*keys, "_first")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    heavy = _persist_forced(heavy)
 
-    affected_ids = (
+    affected_ids = _persist_forced(
         nb_hashes.join(F.broadcast(heavy.select(*keys)), keys, "left_semi")
         .select("_id").distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     untouched = df.join(
         affected_ids.withColumnRenamed("_id", id_col), id_col, "left_anti"
@@ -933,7 +949,6 @@ def semdedup(
     BEFORE the threshold compare in both engines so boundary pairs cannot
     flap on float noise.
     """
-    from pyspark.storagelevel import StorageLevel
 
     from .similarity import make_cell_udf, train_ivf_centroids
 
@@ -956,7 +971,7 @@ def semdedup(
         .withColumn("n", norm)
     )
     if persist_cells:
-        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+        cells = _persist_forced(cells)
 
     a = cells.select("cell", F.col("id").alias("id_a"),
                      F.col("v").alias("v_a"), F.col("n").alias("n_a"))
@@ -1012,7 +1027,6 @@ def exact_span_dedup(
     persisted (default) because it feeds both the key stats and the
     join-back -- unpersisted, the corpus is exploded twice.
     """
-    from pyspark.storagelevel import StorageLevel
 
     if g < 2:
         raise ValueError(f"g must be >= 2, got {g}")
@@ -1039,7 +1053,7 @@ def exact_span_dedup(
         .select("_id", F.col("o.pos").alias("pos"), F.col("o.key").alias("key"))
     )
     if persist:
-        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+        occ = _persist_forced(occ)
 
     dup_keys = (
         occ.groupBy("key")
@@ -1059,7 +1073,7 @@ def exact_span_dedup(
         # feeds BOTH union branches (inner rebuild + left_anti passthrough);
         # AQE compiles them independently, so without this the key-stats
         # join + collect_set run twice (plan test counts the collect_set)
-        starts = starts.persist(StorageLevel.MEMORY_AND_DISK)
+        starts = _persist_forced(starts)
 
     base = df.withColumn("_w", words)
     touched = (
@@ -1129,7 +1143,6 @@ def incremental_exact_dedup(
     it feeds both returned frames (AQE would otherwise compile the two
     consumers independently and run the anti-join twice).
     """
-    from pyspark.storagelevel import StorageLevel
 
     hashed = new_df.withColumn(
         hash_col, F.md5(F.encode(F.col(text_col), "utf-8"))
@@ -1143,7 +1156,7 @@ def incremental_exact_dedup(
     else:
         kept_h = batch_kept
     if persist:
-        kept_h = kept_h.persist(StorageLevel.MEMORY_AND_DISK)
+        kept_h = _persist_forced(kept_h)
     kept = kept_h.select(*new_df.columns)
     new_entries = kept_h.select(hash_col)
     if seen_hashes is None:
@@ -1200,20 +1213,24 @@ def incremental_minhash_dedup(
     band key at production scale to keep its side of the probe
     shuffle-free; the ledger grows 512 B/doc.
     """
-    from pyspark.storagelevel import StorageLevel
 
     sig_udf = signature_udf if signature_udf is not None else minhash_udf
     new_sigs = new_df.select(
         F.col(id_col).alias("id"), sig_udf(text_col).alias("sig")
     )
     if persist:
-        new_sigs = new_sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        # new_sigs fans out into 3+ branches (canon groupBy, collapse
+        # semi/anti, band sides, kept_sigs), several materialized as
+        # CONCURRENT broadcast jobs -- the race _persist_forced exists for
+        # (event-log measured 4-5x UDF recompute with a lazy persist here)
+        new_sigs = _persist_forced(new_sigs)
 
     if collapse_identical:
         canon = new_sigs.groupBy("sig").agg(F.min("id").alias("id"))
         survivors = new_sigs.join(canon.select("id"), "id", "left_semi")
         if persist:
-            survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+            # same diamond: survivors feeds both band-join sides
+            survivors = _persist_forced(survivors)
         collapse_dropped = new_sigs.join(
             canon.select("id"), "id", "left_anti"
         ).select(F.col("id").alias(id_col))
@@ -1269,7 +1286,7 @@ def incremental_minhash_dedup(
     )
     if collapse_dropped is not None:
         dup_ids = dup_ids.unionByName(collapse_dropped)
-    dup_ids = dup_ids.persist(StorageLevel.MEMORY_AND_DISK)
+    dup_ids = _persist_forced(dup_ids)
     kept = new_df.join(dup_ids, id_col, "left_anti")
     kept_sigs = new_sigs.join(
         dup_ids.withColumnRenamed(id_col, "id"), "id", "left_anti"
@@ -1351,7 +1368,6 @@ def minhash_estimate_audit(
     probes via persist. Run on a SAMPLE at 10^12 docs: calibration needs
     thousands of pairs, not the full corpus.
     """
-    from pyspark.storagelevel import StorageLevel
 
     pairs = minhash_near_duplicates(
         df, text_col, id_col, threshold, bands, rows_per_band,
@@ -1359,7 +1375,7 @@ def minhash_estimate_audit(
     )
     sh = df.select(F.col(id_col).alias("_sid"), char_shingle_udf(text_col).alias("_sh"))
     if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist_forced(sh)
     a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b"))
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
@@ -1404,7 +1420,6 @@ def incremental_bloom_dedup(
     bitsets). NULL text never matches the filter (empty position array)
     and passes through, matching the exact operator's null semantics.
     """
-    from pyspark.storagelevel import StorageLevel
 
     from .decontaminate import bloom_member_col
 
@@ -1416,7 +1431,7 @@ def incremental_bloom_dedup(
     member = bloom_member_col(F.col(hash_col), seen_bloom_bits, m_bits, k)
     kept_h = batch_kept.where(~member)
     if persist:
-        kept_h = kept_h.persist(StorageLevel.MEMORY_AND_DISK)
+        kept_h = _persist_forced(kept_h)
     return kept_h.select(*new_df.columns), kept_h.select(hash_col)
 
 
