@@ -1321,3 +1321,40 @@ def test_hash_near_duplicates_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="max_hamming"):
         dedup.hash_near_duplicates(None, hash_col="h", max_hamming=4, blocks=4)
+
+
+def test_minhash_dedup_signature_udf_runs_exactly_once(spark, docs):
+    """_persist_forced regression: the signature UDF must execute exactly
+    once per document across the WHOLE minhash_dedup action graph.  With a
+    lazy persist, the plan's fan-out (collapse groupBy + semi/anti joins +
+    band-join sides) materializes as concurrent jobs that each find an
+    unfilled cache and recompute the UDF -- event-log measured 4-5 full
+    recomputes on a 40k-doc corpus, making local[32] slower than local[8].
+    An accumulator inside a caller-supplied signature_udf counts actual
+    per-row executions, independent of plan shape.  Honest caveat: the
+    race itself is load/timing-dependent and does not reproduce at
+    unit-test scale (lazy persist also measures exactly-once on a 6-doc
+    corpus), so this is a contract assertion plus documentation pointer,
+    not a deterministic reproduction -- the 40k-doc reproduction recipe
+    is in dedup._persist_forced's docstring."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    calls = spark.sparkContext.accumulator(0)
+    real = dedup._word_minhash_signature
+
+    @pandas_udf("array<long>")
+    def counting_sig_udf(texts: pd.Series) -> pd.Series:
+        nonlocal_calls = len(texts)
+        calls.add(nonlocal_calls)
+        return texts.map(lambda t: [int(x) for x in real(t or "")])
+
+    n_docs = docs.count()
+    kept = dedup.minhash_dedup(docs, threshold=0.9,
+                               signature_udf=counting_sig_udf)
+    kept.write.mode("overwrite").format("noop").save()
+    assert calls.value == n_docs, (
+        f"signature UDF ran on {calls.value} rows for {n_docs} docs -- "
+        "the persisted signature frame is being recomputed by a concurrent "
+        "consumer (see dedup._persist_forced)"
+    )
