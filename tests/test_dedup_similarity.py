@@ -1358,3 +1358,42 @@ def test_minhash_dedup_signature_udf_runs_exactly_once(spark, docs):
         "the persisted signature frame is being recomputed by a concurrent "
         "consumer (see dedup._persist_forced)"
     )
+
+
+def test_minhash_carry_signatures_parity(spark, docs):
+    """carry_signatures=False (band ids only, join sigs back for candidates)
+    must produce the identical verified pair set and identical survivor set
+    as the default verify-in-projection plan -- it is a shuffle-volume dial,
+    not a semantics dial."""
+    heavy = {(r.id_a, r.id_b, r.est_jaccard)
+             for r in dedup.minhash_near_duplicates(
+                 docs, threshold=0.7, carry_signatures=True).collect()}
+    lean = {(r.id_a, r.id_b, r.est_jaccard)
+            for r in dedup.minhash_near_duplicates(
+                docs, threshold=0.7, carry_signatures=False).collect()}
+    assert heavy == lean and heavy, "non-trivial identical pair sets"
+
+    kept_heavy = {r.doc_id for r in dedup.minhash_dedup(
+        docs, threshold=0.9, carry_signatures=True).collect()}
+    kept_lean = {r.doc_id for r in dedup.minhash_dedup(
+        docs, threshold=0.9, carry_signatures=False).collect()}
+    assert kept_heavy == kept_lean
+
+
+def test_incremental_minhash_carry_signatures_parity_with_ledger(spark, docs):
+    """Ledger path: both carry modes must drop the same new docs against the
+    same signature ledger and return byte-identical updated ledgers."""
+    first = docs.where(F.col("doc_id") <= 2)
+    second = docs.where(F.col("doc_id") > 2)
+    outs = {}
+    for carry in (True, False):
+        kept1, ledger = dedup.incremental_minhash_dedup(
+            first, None, threshold=0.9, carry_signatures=carry)
+        kept2, ledger2 = dedup.incremental_minhash_dedup(
+            second, ledger, threshold=0.9, carry_signatures=carry)
+        outs[carry] = (
+            {r.doc_id for r in kept1.collect()},
+            {r.doc_id for r in kept2.collect()},
+            {(r.id, tuple(r.sig)) for r in ledger2.collect()},
+        )
+    assert outs[True] == outs[False]
