@@ -446,11 +446,14 @@ def minhash_near_duplicates(
     636 MB read for a 21 MB signature table at 40k docs).  False bands
     (band_key, id) only (~16 B/row), distincts the candidate id pairs, and
     joins the signatures back for just the candidates -- ~0.25 KB/doc
-    banding + 2 x 0.5 KB/doc sig joins, ~6x less exchange volume.  At
-    bench scale (<=10^5 docs) True wins on wall-clock (fewer join stages,
-    measured 6.5 s vs 12.5 s at 40k docs); at 10^9+ docs, where the
-    exchange is network not loopback, False is the plan you want.  Pair
-    sets are identical (parity test pins it).
+    banding + 2 x 0.5 KB/doc sig joins, ~6x less exchange volume.
+    Measured single-box wall-clock: True wins at 40k docs (6.5 s vs
+    12.5 s -- join-stage latency dominates), DEAD EQUAL at 4x10^5 docs
+    (84.4 s vs 85.0 s fresh-JVM interleaved, both dominated by the
+    signature UDF pass) -- loopback shuffle can't exhibit the volume win,
+    so the dial pays exactly when the exchange crosses a real network
+    (cluster runs, 10^9+ docs).  Pair sets are identical (parity tests,
+    including at 4x10^5: same 399,970 survivors in every mode/rep).
     """
     sigs = df.select(F.col(id_col).alias("id"), minhash_udf(text_col).alias("sig"))
     if persist_signatures:
@@ -1243,8 +1246,9 @@ def incremental_minhash_dedup(
     ``carry_signatures`` (default True): same shuffle-volume dial as
     minhash_near_duplicates -- False bands (band_key, id) only and joins
     signatures back for the candidate pairs, ~6x less exchange volume for
-    two extra equi-joins; identical dup set.  Prefer False at 10^9+ docs
-    where the band exchange crosses a real network.
+    two extra equi-joins; identical dup set (parity-tested at 6 and
+    4x10^5 docs).  Prefer False on a real cluster where the band exchange
+    crosses the network; on one box the modes measure equal from ~10^5 up.
 
     ``collapse_identical`` (default True) first collapses new docs with
     IDENTICAL signatures to their smallest id via a linear hash-groupBy,
