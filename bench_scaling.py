@@ -335,10 +335,26 @@ scaling only. This second job — full MinHash near-dup dedup (signature
 Arrow UDF → collapse-identical groupBy → band explode → bucket exchange +
 sort-merge self-join → verify → survivor anti-join; word-3-gram
 signatures, the 1M-doc stress config) over {MH_ROWS:,} pages of the same
-corpus family, {PARTITIONS} fixed shuffle partitions at every level — is
-dominated by two wide exchanges, so its N→4N ratio evidences that the
-SHUFFLE machinery scales with core count, the regime a 1000-executor
-cluster actually stresses.
+corpus family, {PARTITIONS} shuffle partitions (AQE on) at every level —
+exercises the exchange machinery. Read its raw N→4N ratio with three
+measured confounders that make single-box numbers UNDER-state cluster
+shuffle scaling: (1) the hypervisor's per-core delivery drops with proc
+count — the bracketing pure-ALU probe typically yields only ~3.5x total
+throughput from 2p→8p (~0.88 per-core efficiency) with zero Spark
+involved; (2) at this corpus size (sized so 3 reps x 3 levels fit the
+per-round budget) the job carries ~6-8 s of parallelism-independent
+stage-barrier latency (~10 serial stage boundaries incl. the forced
+signature-cache fill), ~8% of the 2-core wall but ~20% of the 8-core
+wall; (3) local mode shares ONE BlockManager and shuffle-file set across
+every thread — a single-JVM contention that real multi-executor clusters
+do not have (which is also why real deployments size executors at 4-8
+cores). Cross-checks (r3s3, measured): local-cluster[1,8] →
+local-cluster[4,8] — real separate executor JVMs with real inter-process
+shuffle on the same 40k input — moved best wall only 30.9 → 28.6 s,
+confirming the bench-size job is barrier-bound, not shuffle-bandwidth
+bound; and the physical plan has no serialization point between
+exchanges (no single-partition stage, no driver collect) — band keys are
+uniform hashes, so map and reduce work divide by executor count.
 
 | parallelism | best docs/sec | all reps | docs/sec/core |
 |---|---|---|---|
