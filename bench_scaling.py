@@ -165,9 +165,10 @@ def _worker_minhash(cores: int) -> None:
     signatures exactly as the 1M-doc stress config (BENCH/STRESS.md: char
     shingles flood LSH on this template-heavy synthetic corpus; word grams
     are the documented production dial). Unlike the pipeline job this one's
-    wall-clock is dominated by two wide exchanges, so its N->4N ratio is
-    evidence that the SHUFFLE machinery -- not just the per-row compute --
-    scales with the core count."""
+    wall-clock includes the exchange machinery; read its N->4N ratio with
+    the confounders quantified in the rendered BASELINE.md section
+    (hypervisor per-core rolloff, stage-barrier latency at bench corpus
+    size, single-JVM BlockManager sharing)."""
     from pyspark.sql import functions as F
 
     from wikisource_latin_text_cleaner_spark.operators import dedup
