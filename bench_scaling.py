@@ -148,8 +148,14 @@ def worker(cores: int, job: str = "pipeline") -> None:
             pii_scrub=True,
         )
     )
-    # warm Python UDF workers so the timed region measures steady state
-    pipe.transform(pages).limit(2000).write.mode("overwrite").format("noop").save()
+    # warm Python UDF workers so the timed region measures steady state.
+    # The warm frame is a LIMIT over the raw SCAN (reads ~one row group),
+    # NOT over the repartitioned frame: LocalLimit(2000) above a 128-way
+    # repartition keeps up to 2000 rows PER PARTITION, i.e. evaluates the
+    # whole corpus through the UDF -- a full untimed pass that doubled the
+    # harness wall-clock.
+    warm = spark.read.parquet(corpus_path()).limit(2000)
+    pipe.transform(warm).write.mode("overwrite").format("noop").save()
     t0 = time.perf_counter()
     pipe.transform(pages).write.mode("overwrite").format("noop").save()
     sec = time.perf_counter() - t0
@@ -186,7 +192,13 @@ def _worker_minhash(cores: int) -> None:
         )
         kept.write.mode("overwrite").format("noop").save()
 
-    run(docs.limit(2000))  # warm UDF workers + JIT the join path
+    # warm on a scan-level LIMIT (see pipeline worker comment: a limit
+    # over the repartitioned frame would evaluate the whole corpus)
+    warm = (
+        spark.read.parquet(corpus_path(MH_ROWS)).limit(2000)
+        .select(F.xxhash64("url").alias("doc_id"), "text")
+    )
+    run(warm)  # warm UDF workers + JIT the join path
     t0 = time.perf_counter()
     run(docs)
     sec = time.perf_counter() - t0
