@@ -1283,7 +1283,11 @@ def incremental_minhash_dedup(
         canon = new_sigs.groupBy("sig").agg(F.min("id").alias("id"))
         survivors = new_sigs.join(canon.select("id"), "id", "left_semi")
         if persist:
-            # same diamond: survivors feeds both band-join sides
+            # forced, like new_sigs: a lazy persist here measured WORSE
+            # (2-core wall 39.5 -> 67 s quiet-window) -- the band-side
+            # consumers race and each re-runs the collapse groupBy
+            # (SortAggregate over 64-long arrays, the costly part), so the
+            # one count() barrier is the cheaper side of the trade.
             survivors = _persist_forced(survivors)
         collapse_dropped = new_sigs.join(
             canon.select("id"), "id", "left_anti"
