@@ -1643,6 +1643,30 @@ def q_gopher_repetition(spark, sf):
     )
 
 
+def q_training_recipe(spark, sf):
+    """Capstone composition — the four stages a real training-data prep
+    chains, end-to-end through this engine: Gopher quality gate
+    (quality.gopher_first_fail, keep only) -> exact dedup (dedup.
+    exact_dedup: md5-groupBy, smallest id wins) -> deterministic 80/10/10
+    hash split (sampling.hash_split, md5-bucketed so it is stable across
+    engines and cluster sizes) -> per-split doc/word/char totals with an
+    id_sum membership witness (any doc routed differently by ANY stage
+    changes the sum). The oracle re-derives the entire chain in SQL, so
+    this one row-set certifies the stages compose without re-shuffling
+    semantics: gate feeds dedup feeds split with no hidden reordering."""
+    d = _docs(spark, sf, spread=True)
+    gated = d.where(quality.gopher_first_fail(F.col("text")).isNull())
+    deduped = dedup.exact_dedup(gated)
+    split = sampling.hash_split(deduped, "doc_id",
+                                {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(quality.n_words(F.col("text"))).alias("total_words"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 _C4_MIN_LINES = 3
 
 
@@ -1865,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap_kmv": q_corpus_overlap,
         "exact_span_dedup": q_exact_span_dedup,
         "gopher_quality_gate": q_gopher_quality_gate,
+        "training_recipe": q_training_recipe,
         "gopher_repetition": q_gopher_repetition,
         "c4_line_filter": q_c4_line_filter,
         "sequence_pack": q_sequence_pack,
@@ -5341,6 +5366,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT verdict, count(*) AS n_docs, round(avg(nw), 4) AS avg_words
             FROM verdicts GROUP BY verdict
+        """,
+        "training_recipe": f"""
+            -- full chain re-derivation: Gopher keep -> exact dedup
+            -- (min doc_id per identical text) -> md5-bucket 80/10/10
+            -- split -> per-split totals + id_sum membership witness
+            WITH base AS (
+              SELECT doc_id, text, n_chars, length(text) AS L,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS ws,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x, ' ')),
+                                 x -> x <> '') AS ls
+              FROM documents
+            ),
+            feat AS (
+              SELECT doc_id, text, n_chars, len(ws) AS nw,
+                CASE WHEN len(ws) > 0
+                     THEN list_sum(list_transform(ws, x -> length(x) * 1.0)) / len(ws)
+                     ELSE 0.0 END AS mwl,
+                CASE WHEN L > 0
+                     THEN length(regexp_replace(text, '[^#@^*\\\\~|<>=_{{}}]', '', 'g')) * 1.0 / L
+                     ELSE 0.0 END AS sym,
+                CASE WHEN len(ls) > 0
+                     THEN len(list_filter(ls, l -> substr(l, 1, 1) IN ('•', '-', '*'))) * 1.0 / len(ls)
+                     ELSE 0.0 END AS bullet,
+                CASE WHEN len(ls) > 0
+                     THEN len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) * 1.0 / len(ls)
+                     ELSE 0.0 END AS ell,
+                CASE WHEN len(ws) > 0
+                     THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)
+                     ELSE 0.0 END AS alpha,
+                len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                                   {_STOP_SQL})) AS nstop
+              FROM base
+            ),
+            kept AS (
+              SELECT doc_id, text, n_chars, nw FROM feat
+              WHERE NOT (nw < 50 OR nw > 100000 OR mwl < 3.0 OR mwl > 10.0
+                         OR sym > 0.1 OR bullet > 0.9 OR ell > 0.3
+                         OR alpha < 0.8 OR nstop < 2)
+            ),
+            dedup AS (
+              SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+            ),
+            routed AS (
+              SELECT k.doc_id, k.n_chars, k.nw,
+                     CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % {sampling.SPLIT_BUCKETS} AS bucket
+              FROM kept k JOIN dedup USING (doc_id)
+            )
+            SELECT CASE WHEN bucket < {int(0.8 * sampling.SPLIT_BUCKETS)} THEN 'train'
+                        WHEN bucket < {int(0.9 * sampling.SPLIT_BUCKETS)} THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(nw) AS BIGINT) AS total_words,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM routed GROUP BY 1
         """,
         "gopher_repetition": """
             WITH docs0 AS (

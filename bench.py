@@ -105,6 +105,9 @@ HEADLINE = (
     "doc_line_dedup",
     "oov_rate",
     "mojibake_stats",
+    # capstone composition: Gopher gate -> exact dedup -> hash split ->
+    # per-split totals, one chained plan
+    "training_recipe",
 )
 
 
