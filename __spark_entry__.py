@@ -1653,15 +1653,31 @@ def q_training_recipe(spark, sf):
     id_sum membership witness (any doc routed differently by ANY stage
     changes the sum). The oracle re-derives the entire chain in SQL, so
     this one row-set certifies the stages compose without re-shuffling
-    semantics: gate feeds dedup feeds split with no hidden reordering."""
+    semantics: gate feeds dedup feeds split with no hidden reordering.
+
+    Plan shape: the generic composition (gate -> exact_dedup -> hash_split)
+    evaluates the gate ladder twice -- exact_dedup's keep-min semi-join
+    scans its input on both sides.  Because exact duplicates share the
+    same text, every per-doc scalar the report needs (nw, n_chars) is
+    IDENTICAL across a duplicate group and the split bucket is a pure
+    function of the surviving doc_id, so the whole chain folds into ONE
+    corpus pass: gate -> groupBy(md5(text)) keeping min(doc_id) + any
+    member's scalars -> bucket(min_id) -> split totals.  One scan, one
+    shuffle of 4 scalars per distinct text, identical rows (the oracle
+    still states the chain in its generic three-stage form)."""
     d = _docs(spark, sf, spread=True)
     gated = d.where(quality.gopher_first_fail(F.col("text")).isNull())
-    deduped = dedup.exact_dedup(gated)
-    split = sampling.hash_split(deduped, "doc_id",
+    per_text = gated.groupBy(F.md5(F.col("text")).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        # duplicates are byte-identical, so first() of these is exact
+        F.first(quality.n_words(F.col("text"))).alias("_nw"),
+        F.first("n_chars").alias("n_chars"),
+    )
+    split = sampling.hash_split(per_text, "doc_id",
                                 {"train": 0.8, "val": 0.1, "test": 0.1})
     return split.groupBy("split").agg(
         F.count("*").alias("n_docs"),
-        F.sum(quality.n_words(F.col("text"))).alias("total_words"),
+        F.sum("_nw").alias("total_words"),
         F.sum("n_chars").alias("total_chars"),
         F.sum("doc_id").alias("id_sum"),
     )
