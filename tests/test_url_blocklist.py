@@ -75,3 +75,17 @@ def test_extract_outlinks_order_case_and_policy(spark):
         "http://b.example.org/2?q=3",
         "",
     ]
+
+
+def test_extract_outlinks_ignores_suffix_attributes(spark):
+    # `data-href` must not match (attribute name needs a preceding
+    # delimiter), and a real href beside a decoy data-href must win.
+    from wikisource_latin_text_cleaner_spark.functions import urls as U
+
+    html = (
+        '<a data-href="https://decoy.example/x">no real href</a>'
+        '<a href="https://real.example/1" data-href="https://decoy.example/2">ok</a>'
+    )
+    df = spark.createDataFrame([(html,)], "page string")
+    got = df.select(U.extract_outlinks(F.col("page")).alias("links")).first().links
+    assert got == ["https://real.example/1"]

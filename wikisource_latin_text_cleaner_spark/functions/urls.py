@@ -132,8 +132,11 @@ def flag_blocked_urls(
 
 #: double-quoted hrefs of anchor tags (group 1). RE2-compatible by
 #: construction (no lookaround/backreference) so the identical pattern
-#: runs in Catalyst (Java regex) and the DuckDB oracle.
-OUTLINK_RE = r'(?i)<a\s[^>]*href="([^"]*)"'
+#: runs in Catalyst (Java regex) and the DuckDB oracle. The attribute
+#: name must be preceded by whitespace (either directly after `<a` or
+#: after other attributes): a bare `[^>]*href=` would also match
+#: suffixes of other attributes, e.g. data-href="x".
+OUTLINK_RE = r'(?i)<a\s(?:[^>]*\s)?href="([^"]*)"'
 
 
 def extract_outlinks(col) -> Column:

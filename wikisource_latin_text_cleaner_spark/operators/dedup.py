@@ -18,6 +18,20 @@ Scale design notes:
     iff some verified duplicate has a smaller id (single-level transitivity,
     the standard near-dup-dedup approximation -- no iterative connected
     components job needed).
+
+Eager-evaluation / cache-lifecycle contract (applies to EVERY function
+here with a ``persist*`` flag): with the flag True (the default) the
+function runs Spark jobs at CALL time to fill its internal caches (see
+``_persist_forced`` for why lazy persist loses the multi-consumer race),
+so building a plan you never execute, adding filters before your action,
+or calling ``.explain()`` is no longer free. Pass the flag False to
+restore full construction-time laziness (at the measured 4-5x recompute
+cost under concurrent consumers). The caches are intentionally NOT
+auto-unpersisted -- the returned lazy frames still read them -- and disk
+blocks of MEMORY_AND_DISK caches are not LRU-evicted, so a session that
+loops these operators (incremental ingest, per-batch dedup) should
+unpersist the previous batch's frames or ``spark.catalog.clearCache()``
+between batches.
 """
 
 from __future__ import annotations
@@ -51,6 +65,11 @@ def _persist_forced(df: DataFrame) -> DataFrame:
     table to storage before the LSH join -- which is what a 100 TB run does
     anyway (see module docstring).  Cost: one scheduler round-trip and the
     loss of construction-time laziness, both negligible against a UDF pass.
+
+    Lifecycle: callers (the persist*=True paths of this module's public
+    functions) do not unpersist these caches -- the frames they return
+    still read them lazily. See the module docstring's eager-evaluation /
+    cache-lifecycle contract for the per-batch unpersist guidance.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -1266,6 +1285,25 @@ def incremental_minhash_dedup(
     on the already-joined signature pair. Store the ledger bucketed by
     band key at production scale to keep its side of the probe
     shuffle-free; the ledger grows 512 B/doc.
+
+    Id hygiene: snapshot ids are expected to be DISJOINT from ledger ids
+    (a re-crawl of a kept url should arrive under a new capture id; see
+    ``latest_capture`` for collapsing revisits first). If a ledger id does
+    reappear in the new snapshot, both paths still drop the new copy when
+    its text is similar to the ledger copy (self-pair against the ledger
+    signature); with CHANGED text the lean path verifies candidates
+    against the ledger's signature only (ledger-wins dedup of the verify
+    side), while the carry path verifies each band row against its own
+    signature -- keep ids disjoint if exact lean/carry parity matters.
+
+    Eager-evaluation note: with ``persist=True`` (default) construction
+    runs Spark jobs immediately (forced cache fills -- see
+    ``_persist_forced``); pass ``persist=False`` to keep the returned
+    frames fully lazy, at the cost of the measured multi-consumer
+    recompute races. Callers looping this per-batch should unpersist the
+    PREVIOUS batch's returned frames (or ``spark.catalog.clearCache()``
+    between batches): forced MEMORY_AND_DISK caches are not LRU-evicted
+    from disk and accumulate for the life of the session.
     """
 
     sig_udf = signature_udf if signature_udf is not None else minhash_udf
@@ -1345,9 +1383,21 @@ def incremental_minhash_dedup(
             .select("id_a", "id_b")
             .distinct()
         )
-        sig_b_src = survivors if seen_sigs is None else survivors.unionByName(
-            seen_sigs.select("id", "sig")
-        )
+        if seen_sigs is None:
+            sig_b_src = survivors
+        else:
+            # Ledger wins on an id collision (a doc re-ingested while
+            # already in the ledger, possibly with changed text): keep only
+            # the ledger's signature for that id so the verify join sees
+            # one sig_b row per candidate, matching the self-pair semantics
+            # of the carry path (which bands the ledger copy under the same
+            # id). Without this, a colliding id contributes BOTH signatures
+            # and id_a is dropped if either passes.
+            sig_b_src = seen_sigs.select("id", "sig").unionByName(
+                survivors.select("id", "sig").join(
+                    seen_sigs.select("id"), "id", "left_anti"
+                )
+            )
         dup_ids = (
             cand.join(survivors.select(F.col("id").alias("id_a"),
                                        F.col("sig").alias("sig_a")), "id_a")
