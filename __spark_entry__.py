@@ -786,15 +786,32 @@ def q_media_phash_near_dups(spark, sf):
     )
 
 
-# ---- non-SQL-expressible ops (rows-only driver check; covered by the
-# stronger byte-parity goldens vs the live reference, tests/gen_goldens.py) --
-
-
 def q_pipeline_decisions(spark, sf):
-    """Full reference-fidelity pipeline decision histogram over documents."""
+    """Full reference-fidelity pipeline decision histogram over documents.
+
+    Oracle-backed by a SQL re-derivation of the whole decision ladder
+    (rules.evaluate_document): null_text -> min_size (byte length) ->
+    index_toc (the single-line reduction of looks_like_index: chapter-ref /
+    numbered-TOC / non-prose branches) -> pre_clean_len (whitespace collapse
+    + the step-4 Roman-heading line drop: first char in [ivxlcdm] and the
+    post-prefix remainder empty, <30 chars, or containing a heading
+    indicator) -> keep. The scrub reductions are exact for the documents
+    table's contract -- single-line text over the charset [a-z ] -- because
+    every other content/heading/orthography/final rule is guarded by a
+    substring or character class outside that charset (validated per-doc
+    against rules.evaluate_document over all three SFs plus randomized
+    in-scope probes, tests/test_pipeline_decisions_oracle.py). The oracle
+    routes any out-of-scope row to a sentinel 'oracle_scope_violation'
+    decision so corpus drift fails the comparison loudly rather than
+    passing silently.
+    """
     pipe = QualityFilterPipeline(PipelineConfig(langid=False, classify=False))
     out = pipe.transform(_docs_as_pages(_docs(spark, sf, spread=True)))
     return drop_reason_histogram(out).orderBy("decision")
+
+
+# ---- non-SQL-expressible op (rows-only driver check; covered by the
+# stronger byte-parity goldens vs the live reference, tests/gen_goldens.py) --
 
 
 def q_pipeline_clean_sample(spark, sf):
@@ -2190,6 +2207,70 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_cube": """
             SELECT lang, source, count(*) AS n_docs
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        # Full decision-ladder re-derivation of rules.evaluate_document.
+        # The scrub-stage reductions are exact on the documents table's
+        # contract (single-line [a-z ] text; see q_pipeline_decisions
+        # docstring); out-of-scope rows get a sentinel decision so drift
+        # fails the comparison loudly instead of passing silently.
+        "pipeline_decisions": """
+            WITH ladder AS (
+              SELECT text,
+                     text IS NOT NULL AND NOT contains(text, chr(10))
+                          AND NOT regexp_matches(text, '[^a-z ]') AS in_scope,
+                     -- step1 index detection sees the raw stripped line;
+                     -- steps 3-5 see the whitespace-collapsed one
+                     trim(coalesce(text, '')) AS rawline,
+                     trim(regexp_replace(coalesce(text, ''), ' +', ' ', 'g'))
+                       AS line
+              FROM documents
+            ), roman AS (
+              SELECT *,
+                -- step4 _is_roman_heading: the reference's over-eager rule.
+                -- ROMAN_LINE_START's (?=[IVXLCDM]) lookahead is RE2-hostile;
+                -- equivalent split: first-char class check + anchored
+                -- grammar removal (the grammar consumes >=1 char whenever
+                -- the first char is in the class)
+                CASE WHEN line <> ''
+                          AND substr(line, 1, 1) IN
+                              ('i','v','x','l','c','d','m')
+                     THEN trim(regexp_replace(line,
+                          '^(?:m{0,4}(?:cm|cd|d?c{0,3})(?:xc|xl|l?x{0,3})(?:ix|iv|v?i{0,3}))[. -]*',
+                          '', 'i'))
+                END AS rest
+              FROM ladder
+            )
+            SELECT decision, count(*) AS n_docs FROM (
+              SELECT CASE
+                WHEN text IS NULL THEN 'null_text'
+                WHEN NOT in_scope THEN 'oracle_scope_violation'
+                WHEN strlen(text) < 200 THEN 'min_size'
+                -- looks_like_index, single-line reduction: content has one
+                -- line, so the elif-chain thresholds collapse to
+                -- chapterish>0.5 / the non-prose branch
+                WHEN rawline <> '' AND (
+                     regexp_matches(rawline,
+                       '(liber|book|chapter|capitulum|epistul|carmen|versus|sectio|pars) +[ivxlcdm0-9]')
+                     OR (length(rawline) < 80
+                         AND regexp_matches(rawline, '^[ivxlcdm0-9]+ '))
+                     OR (length(rawline) < 20
+                         AND NOT regexp_matches(rawline, '[a-z]{4,}')
+                         AND NOT regexp_matches(rawline,
+                               '\\b(et|in|de|ad|cum|ex|pro|per|ab)\\b')))
+                  THEN 'index_toc'
+                -- step4 heading drop nukes the whole (single-line) doc;
+                -- 'cap' subsumes caput/capitulum, 'sectio' subsumes section
+                WHEN rest IS NOT NULL AND (rest = '' OR length(rest) < 30
+                     OR contains(rest, 'liber') OR contains(rest, 'book')
+                     OR contains(rest, 'cap') OR contains(rest, 'chapter')
+                     OR contains(rest, 'pars') OR contains(rest, 'part')
+                     OR contains(rest, 'sectio') OR contains(rest, 'title')
+                     OR contains(rest, 'titulus'))
+                  THEN 'pre_clean_len'
+                WHEN length(line) < 50 THEN 'pre_clean_len'
+                ELSE 'keep' END AS decision
+              FROM roman)
+            GROUP BY decision ORDER BY decision
         """,
         "confidence_tiers": """
             SELECT CASE WHEN n_chars >= 400 THEN 'high'
