@@ -367,21 +367,36 @@ def test_duplicate_clusters_merges_chains(spark):
 
 
 def test_duplicate_clusters_long_path_converges(spark):
-    """A 40-node path needs ~diameter rounds of label propagation; the
-    convergence check (not a fixed round count) must finish it."""
+    """A 40-node path must converge under the convergence check (not a
+    fixed round count), in O(log diameter) rounds thanks to pointer
+    jumping."""
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(40)], "id_a long, id_b long"
     )
     got = {r.id: r.cluster_id
            for r in dedup.duplicate_clusters(pairs, max_iter=50).collect()}
     assert set(got.values()) == {0} and len(got) == 41
+    assert dedup.duplicate_clusters.last_rounds <= 9
+
+
+def test_duplicate_clusters_thousand_node_chain_round_bound(spark):
+    """The documented worst-case bound: a planted 1,000-node adversarial
+    chain (diameter 1,000) converges within the DEFAULT max_iter because
+    pointer jumping at least doubles the minimum's reach per round
+    (~log2(1000) + slack rounds), and every node lands in one cluster."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert set(got.values()) == {0} and len(got) == 1001
+    assert dedup.duplicate_clusters.last_rounds <= 14
 
 
 def test_duplicate_clusters_raises_instead_of_silent_partial(spark):
     """Hitting max_iter mid-propagation must fail loudly, never return
     half-merged clusters."""
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(1000)], "id_a long, id_b long"
     )
     with pytest.raises(ValueError, match="did not converge"):
         dedup.duplicate_clusters(pairs, max_iter=3)

@@ -733,13 +733,18 @@ def duplicate_clusters(
 
     Single-level transitivity (drop b if (a,b) verified) under-merges
     chains a~b~c where (a,c) was never verified; cluster-level dedup keeps
-    exactly one doc per component. Algorithm: min-label propagation --
-    label(v) <- min(label(v), min label of neighbors) to fixpoint. Each
-    round is one shuffle join on uniform id keys; rounds needed = graph
-    diameter (near-dup clusters are dense, typically 2-3). The driver-side
-    loop runs O(diameter) tiny Spark jobs, NOT per-row work; convergence is
-    checked with a count of changed labels. ``max_iter`` bounds adversarial
-    chain graphs (a 10^6-long path is not a duplicate cluster shape).
+    exactly one doc per component. Algorithm: min-label propagation with
+    pointer jumping (hash-to-min shape) -- each round does
+    label(v) <- min(label(v), min label of neighbors) and then
+    label(v) <- min(label(v), label(label(v))), so the minimum's reach at
+    least doubles per round: O(log diameter) rounds instead of O(diameter),
+    and a 1,000-node adversarial chain converges in ~10 rounds (planted
+    test). Each round is one shuffle join on uniform id keys plus a light
+    label self-join; the driver-side loop runs O(log d) tiny Spark jobs,
+    NOT per-row work; convergence is checked with a count of changed
+    labels. ``max_iter`` stays as a loud backstop (the default 20 covers a
+    diameter of ~2^19); the rounds the last call actually took are exposed
+    as ``duplicate_clusters.last_rounds`` for audit/metrics.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(
@@ -751,13 +756,15 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -766,8 +773,26 @@ def duplicate_clusters(
             )
         )
         # localCheckpoint truncates the lineage so plan size stays O(1)
-        # across iterations instead of doubling each round
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # across iterations instead of doubling each round; it also keeps
+        # the pointer-jump self-join below from recomputing the edge join
+        stepped = stepped.localCheckpoint(eager=True)
+        # pointer jump: chase one level of the label forest. Every label
+        # value is itself a node id in ``stepped`` (labels are mins of
+        # initial ids), so the self-join is total for moved labels.
+        parent = stepped.select(
+            F.col("id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.label == parent.p_id, "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("p_label", "label")).alias("label"),
+                (
+                    F.col("changed") | (F.col("p_label") < F.col("label"))
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = new_labels.where(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if changed == 0:
@@ -777,9 +802,10 @@ def duplicate_clusters(
         edges.unpersist()
         raise ValueError(
             f"duplicate_clusters did not converge within max_iter={max_iter} "
-            "rounds (graph diameter exceeds it); raise max_iter"
+            "rounds (graph diameter exceeds 2^max_iter); raise max_iter"
         )
     edges.unpersist()
+    duplicate_clusters.last_rounds = rounds
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 
