@@ -466,3 +466,120 @@ def test_corpus_line_dedup_scoped_python_twin(spark):
         }
         assert got == py_twin(rows, min_count, keep_first), (
             min_count, keep_first)
+
+
+# -- N-snapshot chain batch-equivalence ---------------------------------------
+
+_CHAIN_WORDS = (
+    "amber birch cedar delta ember fjord grove haven ivory jade kelp lunar "
+    "maple night ocean pearl quartz river stone tidal umber vapor willow "
+    "zephyr arbor"
+).split()
+
+
+def _chain_corpus(seed=20260818, n_clusters=8, variants=3, n_unique=16):
+    """Planted corpus: ``n_clusters`` near-dup cliques (each variant changes
+    ONE word of a 26-word base by one char -- pairwise char-shingle jaccard
+    ~0.9, far above the 0.8 threshold) plus ``n_unique`` mutually-far docs.
+    Returns (rows, cluster_of_text) with ids shuffled across clusters."""
+    import random
+
+    rng = random.Random(seed)
+    texts, cluster_of = [], {}
+    for c in range(n_clusters):
+        base = _CHAIN_WORDS[:]
+        rng.shuffle(base)
+        for v in range(variants):
+            words = base[:]
+            words[5 + v] = words[5 + v] + "x"
+            t = f"cluster {c} reads " + " ".join(words)
+            texts.append(t)
+            cluster_of[t] = c
+    for u in range(n_unique):
+        words = rng.sample(_CHAIN_WORDS, 12)
+        t = f"unique {u} {seed} " + " ".join(f"{w}{u}{i}" for i, w in enumerate(words))
+        texts.append(t)
+        cluster_of[t] = f"u{u}"
+    rng.shuffle(texts)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    return rows, cluster_of
+
+
+def _survivor_clusters(df, cluster_of):
+    from collections import Counter
+
+    return Counter(cluster_of[r["text"]] for r in df.select("text").collect())
+
+
+def test_incremental_exact_three_snapshot_chain_equals_batch(spark):
+    """Splitting a corpus into 3 snapshots and chaining
+    incremental_exact_dedup must keep exactly the batch-dedup TEXT set
+    (ids may differ: batch keeps the global min id, the chain keeps the
+    min id of the earliest snapshot), and the final ledger must hold one
+    hash per distinct text."""
+    import random
+
+    rows, _ = _chain_corpus()
+    # make exact duplicates by repeating half the texts with new ids
+    dup_rows = [(1000 + i, t) for i, (_, t) in enumerate(rows[::2])]
+    allrows = rows + dup_rows
+    rng = random.Random(7)
+    rng.shuffle(allrows)
+    cuts = [len(allrows) // 3, 2 * len(allrows) // 3]
+    snaps = [allrows[: cuts[0]], allrows[cuts[0]: cuts[1]], allrows[cuts[1]:]]
+
+    full = spark.createDataFrame(allrows, ["doc_id", "text"])
+    batch_kept, batch_seen = dedup.incremental_exact_dedup(full, None)
+    batch_texts = {r["text"] for r in batch_kept.collect()}
+
+    seen = None
+    chain_texts = set()
+    for snap in snaps:
+        df = spark.createDataFrame(snap, ["doc_id", "text"])
+        kept, seen = dedup.incremental_exact_dedup(df, seen)
+        new_texts = {r["text"] for r in kept.collect()}
+        assert not (new_texts & chain_texts), "chain re-admitted a duplicate"
+        chain_texts |= new_texts
+
+    assert chain_texts == batch_texts == {t for _, t in allrows}
+    assert seen.count() == len(chain_texts) == batch_seen.count()
+
+
+def test_incremental_minhash_three_snapshot_chain_equals_batch(spark):
+    """Chaining incremental_minhash_dedup over 3 snapshots must agree with
+    batch minhash_dedup on the whole corpus at the cluster level: exactly
+    one survivor per planted near-dup clique, every unique doc kept -- the
+    batch-equivalence property after N increments."""
+    import random
+
+    rows, cluster_of = _chain_corpus()
+    rng = random.Random(13)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    cuts = [len(shuffled) // 3, 2 * len(shuffled) // 3]
+    snaps = [shuffled[: cuts[0]], shuffled[cuts[0]: cuts[1]],
+             shuffled[cuts[1]:]]
+
+    full = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = _survivor_clusters(
+        dedup.minhash_dedup(full, threshold=0.8), cluster_of
+    )
+
+    seen = None
+    chain_rows = []
+    for snap in snaps:
+        df = spark.createDataFrame(snap, ["doc_id", "text"])
+        kept, seen = dedup.incremental_minhash_dedup(df, seen, threshold=0.8)
+        chain_rows.extend(kept.select("text").collect())
+    from collections import Counter
+
+    chain = Counter(cluster_of[r["text"]] for r in chain_rows)
+
+    n_clusters = len({c for c in cluster_of.values() if isinstance(c, int)})
+    for counts, label in ((batch, "batch"), (chain, "chain")):
+        for c in range(n_clusters):
+            assert counts[c] == 1, (label, c, counts)
+        for key, n in counts.items():
+            if isinstance(key, str):
+                assert n == 1, (label, key)
+    assert sum(batch.values()) == sum(chain.values())
