@@ -34,6 +34,12 @@ Spark config for the timed job (differs from defaults deliberately):
 Usage:
     python bench_scaling.py              # parent: calibrate, run levels, write report
     python bench_scaling.py --worker 8   # child: one timed run, prints JSON
+    python bench_scaling.py --shuffle-regime
+        # minhash job ONLY, local[2] vs local[8], on a corpus sized so the
+        # parallel work W/p dwarfs the ~20 s corpus-size-independent serial
+        # term S (Amdahl fit in BASELINE.md): the shuffle-regime
+        # demonstration of the north rule, spliced into BASELINE.md between
+        # the shuffle-regime markers
 """
 
 from __future__ import annotations
@@ -187,8 +193,17 @@ def _worker_minhash(cores: int) -> None:
     docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
 
     def run(df):
+        # carry_signatures=False: band rows carry band ids only and the
+        # signatures join back for candidate verification -- the documented
+        # production dial for the shuffle regime (parity-tested vs the
+        # carry path). Measured at 720k docs / 8 cores: the carry path
+        # shuffles 5.7 GB per self-join side and reads 11.4 GB back through
+        # the ONE local disk (event-log task metrics), flooring the
+        # measurable N->4N ratio at the disk's bandwidth; lean mode cuts
+        # the exchange ~6x (84.6 s vs ~130 s wall at 8 cores).
         kept = dedup.minhash_dedup(
-            df, threshold=0.9, signature_udf=dedup.word_minhash_udf
+            df, threshold=0.9, signature_udf=dedup.word_minhash_udf,
+            carry_signatures=False,
         )
         kept.write.mode("overwrite").format("noop").save()
 
@@ -207,6 +222,128 @@ def _worker_minhash(cores: int) -> None:
     spark.stop()
 
 
+#: shuffle-regime corpus size: eff >= 0.8 needs W >= 22*S (from
+#: eff = (S + W/2) / (4S + W/2)); measured with the lean-exchange job at
+#: 720k docs: S ~ 31 s, W ~ 0.59 ms/doc -> eff 0.72 there, so 1.6M docs
+#: (W ~ 950 s, W/2 >> S) with headroom for the hypervisor's per-core
+#: delivery rolloff between 2 and 8 procs
+SR_ROWS = int(os.environ.get("BENCH_SR_ROWS", "1600000"))
+SR_REPS = int(os.environ.get("BENCH_SR_REPS", "3"))
+_SR_BEGIN = "<!-- shuffle-regime:begin -->"
+_SR_END = "<!-- shuffle-regime:end -->"
+
+
+def _render_shuffle_regime() -> str:
+    """Render the shuffle-regime section from the newest recorded run."""
+    path = os.path.join(REPO, "BENCH", "shuffle_regime_runs.jsonl")
+    if not os.path.exists(path):
+        return (f"{_SR_BEGIN}\n(not yet measured this round: run "
+                f"`python bench_scaling.py --shuffle-regime`)\n{_SR_END}")
+    with open(path) as f:
+        runs = [json.loads(line) for line in f if line.strip()]
+    r = runs[-1]
+    reps2 = ", ".join(f"{x:,.0f}" for x in r["all_reps"]["2"])
+    reps8 = ", ".join(f"{x:,.0f}" for x in r["all_reps"]["8"])
+    cb, ca = r["calibration"]["before"], r["calibration"]["after"]
+    cal = (
+        " / ".join(f"{c['procs']}p={c['mops']}" for c in cb)
+        + "  →  "
+        + " / ".join(f"{c['procs']}p={c['mops']}" for c in ca)
+    )
+    history = "\n".join(
+        f"- run {i+1}: rows {h['rows']:,}, efficiency {h['efficiency']:.3f},"
+        f" best 2c {h['best']['2']:,.0f} / 8c {h['best']['8']:,.0f} docs/s"
+        for i, h in enumerate(runs)
+    )
+    return f"""{_SR_BEGIN}
+### Shuffle-regime demonstration (W/p >> S)
+
+The bench-size minhash table above carries a ~20 s corpus-size-independent
+serial term S that floors the measurable ratio (Amdahl fit below). This
+run removes the floor by measurement, not argument: the SAME minhash job
+on {r['rows']:,} pages (~{r['rows'] // MH_ROWS}x the bench corpus, so
+W/2 >> S), local[2] vs local[8] only, {len(r['all_reps']['2'])} interleaved
+reps, fresh JVM per rep, best-of-reps per level.
+
+| parallelism | best docs/sec | all reps | docs/sec/core |
+|---|---|---|---|
+| local[2] (N) | {r['best']['2']:,.0f} | {reps2} | {r['best']['2']/2:,.0f} |
+| local[8] (4N) | {r['best']['8']:,.0f} | {reps8} | {r['best']['8']/8:,.0f} |
+
+**speedup N→4N: {r['ratio']:.2f}x  →  scaling efficiency = {r['ratio']:.2f}/4 = {r['efficiency']:.3f}**
+
+ALU calibration brackets (before → after): {cal}
+
+All shuffle-regime runs recorded (`BENCH/shuffle_regime_runs.jsonl`):
+
+{history}
+{_SR_END}"""
+
+
+def _splice_shuffle_regime() -> None:
+    """Replace the marked shuffle-regime span of BASELINE.md in place (the
+    full harness renders the markers; this keeps the rest of the file
+    untouched when only the shuffle-regime run is refreshed)."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    section = _render_shuffle_regime()
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        text = f.read()
+    if _SR_BEGIN in text and _SR_END in text:
+        head, _, rest = text.partition(_SR_BEGIN)
+        _, _, tail = rest.partition(_SR_END)
+        text = head + section + tail
+    else:
+        # older BASELINE.md without markers: append after the Amdahl fit
+        # paragraph (before the history section) or at the end as fallback
+        anchor = "\n## Measurement history"
+        if anchor in text:
+            text = text.replace(anchor, f"\n{section}\n{anchor}", 1)
+        else:
+            text = text + "\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def shuffle_regime_main() -> None:
+    corpus_path(SR_ROWS)  # generate once, outside any timed region
+    cal_before = calibrate()
+    print(json.dumps({"calibration_before": cal_before}))
+    raw: dict[int, list[dict]] = {2: [], 8: []}
+    env = dict(os.environ, BENCH_SCALING_MINHASH_ROWS=str(SR_ROWS))
+    for _ in range(SR_REPS):
+        for cores in (2, 8):
+            out = subprocess.run(
+                [sys.executable, __file__, "--worker", str(cores), "minhash"],
+                capture_output=True, text=True, check=True, env=env,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            print(line)
+            raw[cores].append(json.loads(line))
+    cal_after = calibrate()
+    print(json.dumps({"calibration_after": cal_after}))
+    best = {c: max(r["docs_per_sec"] for r in runs) for c, runs in raw.items()}
+    ratio = best[8] / best[2]
+    record = {
+        "rows": SR_ROWS,
+        "ratio": round(ratio, 3),
+        "efficiency": round(ratio / 4, 3),
+        "best": {"2": best[2], "8": best[8]},
+        "all_reps": {str(c): [r["docs_per_sec"] for r in raw[c]]
+                     for c in (2, 8)},
+        "walls_sec": {str(c): [r["sec"] for r in raw[c]] for c in (2, 8)},
+        "calibration": {"before": cal_before, "after": cal_after},
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "shuffle_regime_runs.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
+    _splice_shuffle_regime()
+    print(json.dumps({"shuffle_regime_efficiency": record["efficiency"],
+                      "rows": SR_ROWS, "best": record["best"]}))
+
+
 def _run_level(cores: int, job: str) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, "--worker", str(cores), job],
@@ -221,6 +358,9 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]),
                sys.argv[3] if len(sys.argv) > 3 else "pipeline")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--shuffle-regime":
+        shuffle_regime_main()
         return
 
     corpus_path()  # generate once, outside any timed region
@@ -385,6 +525,8 @@ alone drops 4.93 s → 2.06 s from 8 → 32 cores (near-linear), while total
 wall barely moves. At production corpus sizes W/executors dwarfs S (40k
 docs is 0.000004% of the 10^12-doc target), so the bench-size ratio is a
 floor artifact, not a property of the plan.
+
+{_render_shuffle_regime()}
 {hist_section}
 Why this transfers to a real cluster: the pipeline is embarrassingly
 parallel — one fused `scan -> ArrowEvalPython -> project` stage per
