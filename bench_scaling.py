@@ -127,8 +127,15 @@ def _session(cores: int, job: str):
     # measurement; the SAME setting applies to every level, so the N->4N
     # comparison stays apples-to-apples.
     local_dir = os.environ.get("BENCH_LOCAL_DIR", "")
+    # BENCH_MASTER overrides the master URL entirely (e.g.
+    # "local-cluster[4,2,8192]" = 4 separate executor JVMs x 2 cores --
+    # the literal "N executors vs 4N executors" reading of the north
+    # rule, with real inter-process task dispatch + Arrow batches
+    # crossing JVM boundaries). `cores` is still the level label the
+    # caller interleaves and records.
+    master = os.environ.get("BENCH_MASTER", f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(f"wltc-scaling-{job}-{cores}")
         .config("spark.sql.shuffle.partitions", str(PARTITIONS))
         .config("spark.sql.adaptive.enabled", aqe)
@@ -143,6 +150,11 @@ def _session(cores: int, job: str):
         builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if not master.startswith("local["):
+        # separate executor JVMs spawn their own Python workers, which do
+        # not inherit this process's sys.path -- ship the package exactly
+        # as a real spark-submit --py-files launch would.
+        spark.sparkContext.addPyFile(os.path.join(REPO, "pipeline.zip"))
     return spark
 
 
