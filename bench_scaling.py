@@ -40,6 +40,13 @@ Usage:
         # term S (Amdahl fit in BASELINE.md): the shuffle-regime
         # demonstration of the north rule, spliced into BASELINE.md between
         # the shuffle-regime markers
+    python bench_scaling.py --executors
+        # pipeline job under local-cluster[1,2,*] vs local-cluster[4,2,*]:
+        # N vs 4N SEPARATE EXECUTOR JVMs (the north rule's literal
+        # wording), package shipped via addPyFile exactly as spark-submit
+        # --py-files would; spliced into BASELINE.md between the
+        # executor-scaling markers (env: BENCH_EX_EXECUTORS,
+        # BENCH_EX_CORES, BENCH_EX_MEM_MB, BENCH_EX_REPS)
 """
 
 from __future__ import annotations
