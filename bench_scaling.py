@@ -487,7 +487,11 @@ best-of-reps per level.
 
 ALU calibration brackets (before → after): {cal}
 
-All shuffle-regime runs recorded (`BENCH/shuffle_regime_runs.jsonl`):
+All shuffle-regime runs recorded (`BENCH/shuffle_regime_runs.jsonl`;
+headline = best-evidenced run; best-of-reps under a fluctuating
+hypervisor can land slightly above 1.0 because each level's best comes
+from its own least-contended window — read >=1.0 as "no measurable
+scaling loss", with the per-rep spread above and the run history below):
 
 {history}
 
