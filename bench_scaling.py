@@ -534,8 +534,8 @@ box. The transferable evidence is the constant-total-work signature
 stage plus uniform-key exchanges (no serialization point, no driver
 collect) and the N-vs-4N wall ratio measured where the substrate itself
 scales (headline table above); the pipeline job independently
-demonstrates 0.96-1.00 N->4N (measurement history below) and 0.95-0.96 at
-1-vs-4 separate executor JVMs (executor section above).
+demonstrates 0.96-1.00 N->4N (measurement history below) and 0.83-0.96
+across six runs at 1-vs-4 separate executor JVMs (executor section above).
 {_SR_END}"""
 
 
