@@ -31,8 +31,10 @@ def probe() -> dict[int, float]:
     return {c["procs"]: c["mops"] for c in bench_scaling.calibrate()}
 
 
-def is_quiet(p: dict[int, float], bar32: float, bar2: float) -> bool:
-    return p.get(32, 0.0) >= bar32 and p.get(2, 0.0) >= bar2
+def is_quiet(p: dict[int, float], bar32: float, bar2: float,
+             bar8: float = 0.0) -> bool:
+    return (p.get(32, 0.0) >= bar32 and p.get(2, 0.0) >= bar2
+            and p.get(8, 0.0) >= bar8)
 
 
 def main() -> int:
@@ -42,6 +44,10 @@ def main() -> int:
     # contended run 6 measured 179.8 / 17.2 -- the 32p probe discriminates
     ap.add_argument("--bar32", type=float, default=195.0)
     ap.add_argument("--bar2", type=float, default=16.0)
+    # run 9's launch probe read 19.4 Mops at 8p while 2p and 32p both
+    # cleared their bars -- the mid-proc-count contention mode has to be
+    # screened too (quiet windows deliver 50-84 Mops at 8p)
+    ap.add_argument("--bar8", type=float, default=45.0)
     ap.add_argument("--poll", type=float, default=600.0)
     args = ap.parse_args()
 
@@ -49,7 +55,7 @@ def main() -> int:
     streak = 0
     while time.time() - t0 < args.max_wait:
         p = probe()
-        quiet = is_quiet(p, args.bar32, args.bar2)
+        quiet = is_quiet(p, args.bar32, args.bar2, args.bar8)
         streak = streak + 1 if quiet else 0
         print(json.dumps({"t": round(time.time() - t0), "probe": p,
                           "quiet": quiet, "streak": streak}), flush=True)
