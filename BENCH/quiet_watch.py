@@ -10,7 +10,8 @@ once TWO consecutive probes (5 min apart) clear the quiet bar.  If the
 box never clears within ``--max-wait`` it exits WITHOUT running -- a
 knowingly-contended datapoint adds noise, not evidence.
 
-Usage:  python BENCH/quiet_watch.py [--max-wait SEC] [--bar32 MOPS] [--bar2 MOPS]
+Usage:  python BENCH/quiet_watch.py [--max-wait SEC] [--bar32 MOPS]
+                                    [--bar8 MOPS] [--bar2 MOPS]
 """
 from __future__ import annotations
 
@@ -32,7 +33,9 @@ def probe() -> dict[int, float]:
 
 
 def is_quiet(p: dict[int, float], bar32: float, bar2: float,
-             bar8: float = 0.0) -> bool:
+             bar8: float = 45.0) -> bool:
+    # bar8 default matches the CLI default so non-main callers screen
+    # the 8p contention mode too (run 9's blind spot).
     return (p.get(32, 0.0) >= bar32 and p.get(2, 0.0) >= bar2
             and p.get(8, 0.0) >= bar8)
 

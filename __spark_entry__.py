@@ -603,9 +603,11 @@ def q_outlink_domains(spark, sf):
     extract anchor hrefs with pure-Catalyst regexp_extract_all, explode,
     canonicalize (tracking params / default ports / fragments / trailing
     slashes), reduce to registrable target domains. Pages are synthesized
-    with three links each -- a tracked same-source item link, an http:80
-    news link with a trailing slash, and a fragment-bearing CDN asset --
-    so every canonicalization rule fires on every row in both engines."""
+    with five links each -- a tracked same-source item link, an http:80
+    news link with a trailing slash, a fragment-bearing CDN asset, a
+    SINGLE-QUOTED mirror link, and an UNQUOTED tracker-param link -- so
+    every canonicalization rule AND every href quoting form fires on
+    every row in both engines."""
     d = _docs(spark, sf)
     page = F.concat(
         F.lit('<html><body><p>x</p><a href="https://Example-'),
@@ -615,7 +617,11 @@ def q_outlink_domains(spark, sf):
         (F.col("doc_id") % 50).cast("string"),
         F.lit('/">two</a> <a href="https://cdn-'),
         (F.col("doc_id") % 5).cast("string"),
-        F.lit('.example-static.net/a.js#frag">three</a></body></html>'),
+        F.lit(".example-static.net/a.js#frag\">three</a> <a href='https://mirror-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example-mirrors.org/m'>four</a> <a href=https://plain.example-plain.net/p/"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit("?gclid=zz>five</a></body></html>"),
     )
     links = d.select(F.explode(urlsx.extract_outlinks(page)).alias("raw"))
     canon = links.select(urlsx.canonicalize_url(F.col("raw")).alias("url"))
@@ -3330,8 +3336,10 @@ def oracle_sql() -> dict[str, str]:
             FROM canon GROUP BY source
         """,
         "outlink_domains": f"""
-            -- same page synthesis, same (?i) href pattern, same
-            -- canonicalization twin, same last-two-label domain rule
+            -- same page synthesis (all three href quoting forms), same
+            -- (?i) OUTLINK_RE pattern + quote-strip CASE (both interpolated
+            -- from functions/urls.py so the engines share one definition),
+            -- same canonicalization twin, same last-two-label domain rule
             WITH pages AS (
               SELECT '<html><body><p>x</p><a href="https://Example-'
                      || source || '.com/item/'
@@ -3341,15 +3349,20 @@ def oracle_sql() -> dict[str, str]:
                      || CAST(doc_id % 50 AS VARCHAR)
                      || '/">two</a> <a href="https://cdn-'
                      || CAST(doc_id % 5 AS VARCHAR)
-                     || '.example-static.net/a.js#frag">three</a></body></html>'
+                     || '.example-static.net/a.js#frag">three</a>'
+                     || ' <a href=''https://mirror-' || CAST(doc_id % 7 AS VARCHAR)
+                     || '.example-mirrors.org/m''>four</a>'
+                     || ' <a href=https://plain.example-plain.net/p/'
+                     || CAST(doc_id % 11 AS VARCHAR)
+                     || '?gclid=zz>five</a></body></html>'
                        AS page
               FROM documents
             ),
             links AS (
-              SELECT u.raw
+              SELECT {urlsx.STRIP_HREF_QUOTES_SQL.format(v="u.quoted")} AS raw
               FROM pages,
                    unnest(regexp_extract_all(page,
-                     '(?i)<a\\s(?:[^>]*\\s)?href="([^"]*)"', 1)) AS u(raw)
+                     '{urlsx.OUTLINK_RE.replace("'", "''")}', 1)) AS u(quoted)
             ),
             canon AS (
               SELECT {urlsx.canonicalize_url_sql('raw')} AS url FROM links

@@ -59,20 +59,47 @@ def test_rows_flagged_never_dropped(spark):
     assert out.where(F.col("url_blocked")).count() == 10
 
 
-def test_extract_outlinks_order_case_and_policy(spark):
+def test_extract_outlinks_order_case_and_quoting_forms(spark):
     from wikisource_latin_text_cleaner_spark.functions import urls as U
 
     html = (
         '<p>x</p><A HREF="https://a.example.com/1">one</A>'
         '<a class="y" href="http://b.example.org/2?q=3">two</a>'
-        "<a href='https://single.quoted/out-of-policy'>three</a>"
-        '<a href="">empty kept</a><a name="anchor-no-href">four</a>'
+        "<a href='https://single.quoted/now-in-policy'>three</a>"
+        "<a href=https://unquoted.example/4?q=5 rel=nofollow>four</a>"
+        '<a href = "https://spaced.example/5">five</a>'
+        '<a href="">empty kept</a><a name="anchor-no-href">six</a>'
     )
     df = spark.createDataFrame([(html,)], "page string")
     got = df.select(U.extract_outlinks(F.col("page")).alias("links")).first().links
     assert got == [
         "https://a.example.com/1",
         "http://b.example.org/2?q=3",
+        "https://single.quoted/now-in-policy",
+        "https://unquoted.example/4?q=5",
+        "https://spaced.example/5",
+        "",
+    ]
+
+
+def test_extract_outlinks_quote_boundaries(spark):
+    # A double-quoted value may contain a single quote (and vice versa);
+    # only the SURROUNDING pair is stripped. An unquoted value terminates
+    # at whitespace or '>' and never swallows a following attribute.
+    from wikisource_latin_text_cleaner_spark.functions import urls as U
+
+    html = (
+        '<a href="https://d.example/it\'s-here">a</a>'
+        "<a href='https://s.example/say-\"hi\"'>b</a>"
+        "<a href=https://u.example/x class=z>c</a>"
+        "<a href=''>empty single</a>"
+    )
+    df = spark.createDataFrame([(html,)], "page string")
+    got = df.select(U.extract_outlinks(F.col("page")).alias("links")).first().links
+    assert got == [
+        "https://d.example/it's-here",
+        'https://s.example/say-"hi"',
+        "https://u.example/x",
         "",
     ]
 

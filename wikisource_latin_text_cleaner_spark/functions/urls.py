@@ -130,19 +130,42 @@ def flag_blocked_urls(
     )
 
 
-#: double-quoted hrefs of anchor tags (group 1). RE2-compatible by
-#: construction (no lookaround/backreference) so the identical pattern
-#: runs in Catalyst (Java regex) and the DuckDB oracle. The attribute
-#: name must be preceded by whitespace (either directly after `<a` or
-#: after other attributes): a bare `[^>]*href=` would also match
-#: suffixes of other attributes, e.g. data-href="x".
-OUTLINK_RE = r'(?i)<a\s(?:[^>]*\s)?href="([^"]*)"'
+#: anchor hrefs in all three HTML quoting forms (group 1 = the value
+#: INCLUDING its surrounding quotes when present; strip_href_quotes
+#: removes them). RE2-compatible by construction (no lookaround, no
+#: backreference) so the identical pattern runs in Catalyst (Java regex)
+#: and the DuckDB oracle; both engines use leftmost-first alternation,
+#: so a quoted value always binds its quoted branch. The attribute name
+#: must be preceded by whitespace (either directly after `<a` or after
+#: other attributes): a bare `[^>]*href=` would also match suffixes of
+#: other attributes, e.g. data-href="x". Unquoted values terminate at
+#: whitespace/`>` and may not contain quotes (HTML5 unquoted-value
+#: grammar); `\s*=\s*` tolerates whitespace around the equals sign.
+OUTLINK_RE = r"""(?i)<a\s(?:[^>]*\s)?href\s*=\s*("[^"]*"|'[^']*'|[^'"\s>]+)"""
+
+#: SQL CASE that strips the surrounding quotes off one OUTLINK_RE group-1
+#: match -- shared verbatim by the Spark transform below and the DuckDB
+#: oracle so both engines apply one definition of "the href value".
+STRIP_HREF_QUOTES_SQL = (
+    "CASE WHEN substr({v}, 1, 1) IN ('\"', '''') "
+    "THEN substr({v}, 2, length({v}) - 2) ELSE {v} END"
+)
+
+
+def strip_href_quotes(col) -> Column:
+    """Remove the surrounding quote pair from an OUTLINK_RE group-1 match
+    (no-op for unquoted values, which the pattern guarantees are
+    quote-free)."""
+    return F.when(
+        F.substring(col, 1, 1).isin('"', "'"),
+        col.substr(F.lit(2), F.length(col) - 2),
+    ).otherwise(col)
 
 
 def extract_outlinks(col) -> Column:
-    """All double-quoted anchor hrefs of an HTML string, in document
-    order, as array<string> -- pure Catalyst (regexp_extract_all), no
-    Python. Single-quoted/unquoted hrefs are out of policy (rare in real
-    crawls and ambiguous to terminate with one RE2 pass); the link-graph
+    """All anchor hrefs of an HTML string -- double-quoted, single-quoted,
+    and unquoted forms -- in document order, as array<string>. Pure
+    Catalyst (regexp_extract_all + transform), no Python. The link-graph
     consumer joins this against canonicalize_url + registrable_domain."""
-    return F.regexp_extract_all(col, F.lit(OUTLINK_RE), F.lit(1))
+    raw = F.regexp_extract_all(col, F.lit(OUTLINK_RE), F.lit(1))
+    return F.transform(raw, strip_href_quotes)
