@@ -147,7 +147,13 @@ def bloom_member_col(key_col, bits, m_bits: int, k: int):
         raise ValueError(
             f"bitset holds {len(bits) * 8} bits, need {m_bits}"
         )
-    packed = bits
+    # accept the serialized form too (a filter read back from storage is
+    # bytes); ndarray passes through unchanged
+    packed = (
+        np.frombuffer(bits, dtype=np.uint8)
+        if isinstance(bits, (bytes, bytearray))
+        else bits
+    )
 
     @pandas_udf("boolean")
     def probe(pos: pd.Series) -> pd.Series:

@@ -29,12 +29,22 @@ restore full construction-time laziness (at the measured 4-5x recompute
 cost under concurrent consumers). The caches are intentionally NOT
 auto-unpersisted -- the returned lazy frames still read them -- and disk
 blocks of MEMORY_AND_DISK caches are not LRU-evicted, so a session that
-loops these operators (incremental ingest, per-batch dedup) should
-unpersist the previous batch's frames or ``spark.catalog.clearCache()``
-between batches.
+loops these operators (incremental ingest, per-batch dedup) must release
+the previous batch's caches between batches. That release is MECHANIZED,
+not contractual: every public call attaches the caches it pinned to its
+returned frame(s) as a ``CacheHandle`` (``df.dedup_caches``), the
+``collect_caches()`` context manager scoops them across several calls,
+and the incremental functions accept ``unpersist_prior=`` taking the
+previous batch's handle -- they first make this batch's returned ledger
+self-contained (its own forced cache), then release the prior batch's
+pins. ``tests/test_incremental_cache_lifecycle.py`` pins that executor
+storage stays FLAT across a chained 3-batch ingest loop.
 """
 
 from __future__ import annotations
+
+import contextlib
+from typing import Iterable
 
 import numpy as np
 import pandas as pd
@@ -75,7 +85,103 @@ def _persist_forced(df: DataFrame) -> DataFrame:
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    for frames in _ACTIVE_COLLECTORS:
+        frames.append(df)
     return df
+
+
+# -- cache-lifecycle handles (mechanized unpersist for ingest loops) ---------
+
+#: collectors currently in scope; _persist_forced registers every cache it
+#: fills into each. Driver-side, single-threaded by Spark's driver model
+#: (a plain list, no locking -- matches how the rest of this module treats
+#: driver state).
+_ACTIVE_COLLECTORS: list[list[DataFrame]] = []
+
+
+class CacheHandle:
+    """Explicit cleanup handle for the caches a dedup call (or a
+    ``collect_caches()`` scope) pinned via ``_persist_forced``.
+
+    ``release()`` unpersists every pinned frame exactly once and empties
+    the handle (idempotent). MEMORY_AND_DISK blocks are not LRU-evicted,
+    so an ingest loop that never releases grows executor storage without
+    bound -- see the module docstring's cache-lifecycle contract."""
+
+    def __init__(self, frames: list[DataFrame] | None = None):
+        self._frames: list[DataFrame] = frames if frames is not None else []
+
+    def __len__(self) -> int:
+        return len(self._frames)
+
+    @property
+    def frames(self) -> tuple[DataFrame, ...]:
+        return tuple(self._frames)
+
+    def release(self, blocking: bool = False) -> int:
+        """Unpersist every pinned cache; returns how many were released."""
+        n = 0
+        while self._frames:
+            self._frames.pop().unpersist(blocking=blocking)
+            n += 1
+        return n
+
+
+@contextlib.contextmanager
+def collect_caches():
+    """Scope that collects every cache the dedup operators pin inside the
+    block into one live ``CacheHandle`` (yielded immediately; it fills as
+    calls run). The scope does NOT auto-release on exit -- the returned
+    lazy frames still read the caches -- the caller releases the handle
+    once the batch's outputs are consumed::
+
+        with collect_caches() as handle:
+            kept, ledger = incremental_minhash_dedup(batch, seen_sigs=prev)
+        kept.write.parquet(...)          # consume
+        handle.release()                 # then drop this batch's pins
+    """
+    frames: list[DataFrame] = []
+    _ACTIVE_COLLECTORS.append(frames)
+    try:
+        yield CacheHandle(frames)
+    finally:
+        # remove by IDENTITY: list.remove compares by ==, and two nested
+        # collectors with equal contents would pop the wrong one
+        for i in range(len(_ACTIVE_COLLECTORS) - 1, -1, -1):
+            if _ACTIVE_COLLECTORS[i] is frames:
+                del _ACTIVE_COLLECTORS[i]
+                break
+
+
+def release_caches(*items, blocking: bool = False) -> int:
+    """Normalize-and-release: each item may be a ``CacheHandle``, a
+    DataFrame carrying ``.dedup_caches``, or an iterable of either.
+    Returns the total number of caches released (shared handles release
+    once -- ``CacheHandle.release`` is idempotent)."""
+    n = 0
+    for item in items:
+        if item is None:
+            continue
+        if isinstance(item, CacheHandle):
+            n += item.release(blocking=blocking)
+        elif isinstance(item, DataFrame):
+            h = getattr(item, "dedup_caches", None)
+            if h is not None:
+                n += h.release(blocking=blocking)
+        elif isinstance(item, Iterable):
+            n += release_caches(*item, blocking=blocking)
+        else:
+            raise TypeError(f"cannot release caches from {type(item)!r}")
+    return n
+
+
+def _attach_handle(handle: CacheHandle, *frames: DataFrame) -> None:
+    """Attach one shared handle to each returned frame as
+    ``df.dedup_caches`` (plain Python attribute on the DataFrame object;
+    derived frames built from it do not inherit the attribute -- hold the
+    returned object to hold the handle)."""
+    for f in frames:
+        f.dedup_caches = handle
 
 # -- deterministic hashing helpers (no PYTHONHASHSEED dependence) -----------
 
@@ -1215,6 +1321,7 @@ def incremental_exact_dedup(
     id_col: str = "doc_id",
     hash_col: str = "content_hash",
     persist: bool = True,
+    unpersist_prior=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-dedup a new snapshot against itself and a prior-content ledger.
 
@@ -1233,29 +1340,87 @@ def incremental_exact_dedup(
     on the ledger side. ``persist`` caches the surviving-rows frame because
     it feeds both returned frames (AQE would otherwise compile the two
     consumers independently and run the anti-join twice).
+
+    Cache lifecycle: the returned frames carry ``.dedup_caches`` (a
+    ``CacheHandle`` over the caches this call pinned). In a per-batch
+    ingest loop pass the PREVIOUS batch's handle as ``unpersist_prior=``
+    (handle, frame carrying one, or iterable of either): this call first
+    force-persists the returned ledger so it no longer reads the prior
+    batch's caches, then releases them -- executor storage stays flat
+    across the loop (pinned by tests/test_incremental_cache_lifecycle.py).
     """
 
-    hashed = new_df.withColumn(
-        hash_col, F.md5(F.encode(F.col(text_col), "utf-8"))
-    )
-    canon = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
-    batch_kept = hashed.join(canon.select(id_col), id_col, "left_semi")
-    if seen_hashes is not None:
-        kept_h = batch_kept.join(
-            seen_hashes.select(hash_col), hash_col, "left_anti"
+    with collect_caches() as handle:
+        hashed = new_df.withColumn(
+            hash_col, F.md5(F.encode(F.col(text_col), "utf-8"))
         )
-    else:
-        kept_h = batch_kept
-    if persist:
-        kept_h = _persist_forced(kept_h)
-    kept = kept_h.select(*new_df.columns)
-    new_entries = kept_h.select(hash_col)
-    if seen_hashes is None:
-        return kept, new_entries
-    return kept, seen_hashes.select(hash_col).unionByName(new_entries)
+        canon = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+        batch_kept = hashed.join(canon.select(id_col), id_col, "left_semi")
+        if seen_hashes is not None:
+            kept_h = batch_kept.join(
+                seen_hashes.select(hash_col), hash_col, "left_anti"
+            )
+        else:
+            kept_h = batch_kept
+        if persist:
+            kept_h = _persist_forced(kept_h)
+        kept = kept_h.select(*new_df.columns)
+        new_entries = kept_h.select(hash_col)
+        if seen_hashes is None:
+            ledger = new_entries
+        else:
+            ledger = seen_hashes.select(hash_col).unionByName(new_entries)
+            if unpersist_prior is not None:
+                # make the new ledger self-contained BEFORE the prior
+                # batch's caches (which its union arm still reads) go away
+                ledger = _persist_forced(ledger)
+    if unpersist_prior is not None:
+        release_caches(unpersist_prior)
+    _attach_handle(handle, kept, ledger)
+    return kept, ledger
 
 
 def incremental_minhash_dedup(
+    new_df: DataFrame,
+    seen_sigs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    persist: bool = True,
+    signature_udf=None,
+    collapse_identical: bool = True,
+    carry_signatures: bool = True,
+    unpersist_prior=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup-dedup a new snapshot against itself and a signature ledger
+    (see ``_incremental_minhash_impl`` for the full algorithm notes).
+
+    Cache lifecycle (the mechanized form of the module contract): the
+    returned frames carry ``.dedup_caches``. In a per-batch ingest loop
+    pass the PREVIOUS batch's handle as ``unpersist_prior=``: this call
+    force-persists the returned ledger first (so it stops reading the
+    prior batch's caches), then releases them -- executor storage stays
+    flat across the loop (tests/test_incremental_cache_lifecycle.py).
+    """
+    with collect_caches() as handle:
+        kept, ledger = _incremental_minhash_impl(
+            new_df, seen_sigs, text_col, id_col, threshold, bands,
+            rows_per_band, persist, signature_udf, collapse_identical,
+            carry_signatures,
+        )
+        if unpersist_prior is not None and seen_sigs is not None:
+            # the ledger union's seen_sigs arm reads the prior batch's
+            # caches; pin it to its own cache before they go away
+            ledger = _persist_forced(ledger)
+    if unpersist_prior is not None:
+        release_caches(unpersist_prior)
+    _attach_handle(handle, kept, ledger)
+    return kept, ledger
+
+
+def _incremental_minhash_impl(
     new_df: DataFrame,
     seen_sigs: DataFrame | None = None,
     text_col: str = "text",
@@ -1572,6 +1737,7 @@ def incremental_bloom_dedup(
     id_col: str = "doc_id",
     hash_col: str = "content_hash",
     persist: bool = True,
+    unpersist_prior=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Zero-join variant of ``incremental_exact_dedup``: the ledger is a
     Bloom filter of previously-kept content hashes
@@ -1591,20 +1757,32 @@ def incremental_bloom_dedup(
     into the next filter build (build_bloom ∪ is bitwise-or of packed
     bitsets). NULL text never matches the filter (empty position array)
     and passes through, matching the exact operator's null semantics.
+
+    Cache lifecycle: the returned frames carry ``.dedup_caches``; pass
+    the previous batch's handle as ``unpersist_prior=`` to release it
+    after this call's forced fills. Unlike the join-ledger operators no
+    returned frame reads prior-batch caches (the ledger is driver-side
+    bloom bytes), so no re-pin is needed before the release.
     """
 
     from .decontaminate import bloom_member_col
 
-    hashed = new_df.withColumn(
-        hash_col, F.md5(F.encode(F.col(text_col), "utf-8"))
-    )
-    canon = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
-    batch_kept = hashed.join(canon.select(id_col), id_col, "left_semi")
-    member = bloom_member_col(F.col(hash_col), seen_bloom_bits, m_bits, k)
-    kept_h = batch_kept.where(~member)
-    if persist:
-        kept_h = _persist_forced(kept_h)
-    return kept_h.select(*new_df.columns), kept_h.select(hash_col)
+    with collect_caches() as handle:
+        hashed = new_df.withColumn(
+            hash_col, F.md5(F.encode(F.col(text_col), "utf-8"))
+        )
+        canon = hashed.groupBy(hash_col).agg(F.min(id_col).alias(id_col))
+        batch_kept = hashed.join(canon.select(id_col), id_col, "left_semi")
+        member = bloom_member_col(F.col(hash_col), seen_bloom_bits, m_bits, k)
+        kept_h = batch_kept.where(~member)
+        if persist:
+            kept_h = _persist_forced(kept_h)
+        kept = kept_h.select(*new_df.columns)
+        new_hashes = kept_h.select(hash_col)
+    if unpersist_prior is not None:
+        release_caches(unpersist_prior)
+    _attach_handle(handle, kept, new_hashes)
+    return kept, new_hashes
 
 
 # -- quality-aware cluster retention ------------------------------------------
