@@ -727,15 +727,21 @@ def q_toxicity_stats(spark, sf):
 #: The synthetic media table is persisted once (pyarrow, deterministic) so
 #: the DuckDB oracle scans the SAME parquet bytes the Spark queries read.
 _MEDIA_PARQUET = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".mediacache", "synth_media_n300_s9.parquet"
+    # v2: image payloads are real PNGs (stdlib encode_png) -- see
+    # operators/multimodal.py _synth_media_rows
+    os.path.dirname(os.path.abspath(__file__)), ".mediacache", "synth_media_v2_n300_s9.parquet"
 )
 
 
 def q_media_image_features(spark, sf):
     """Multimodal: image feature extraction over a deterministic synthetic
-    media table (decode stubbed behind a PIL gate; Spark plumbing real --
-    operators/multimodal.py). Oracle-backed: the fake features are pure
-    digest functions of the payload, replicated in SQL."""
+    media table whose image payloads are REAL PNGs -- the Spark side runs
+    the stdlib decoder (zlib inflate + scanline unfilter, all five filter
+    types across the fixture; operators/multimodal.py decode_png).
+    Oracle-backed: dimensions come from the meta struct the decoder never
+    reads, the constant fill color from the md5(doc_id) fixture recipe,
+    and the phash from a payload digest -- all SQL-reproducible without
+    decoding."""
     media = spark.read.parquet(
         multimodal.ensure_synth_media_parquet(_MEDIA_PARQUET, 300, seed=9)
     )
@@ -5366,15 +5372,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "media_image_features": f"""
+            -- the Spark side REALLY decodes the PNG payloads (stdlib
+            -- inflate + unfilter, operators/multimodal.py decode_png);
+            -- the oracle re-derives what the pixels must contain without
+            -- decoding: dimensions from the meta struct (which the
+            -- decoder never reads) and the constant fill color from the
+            -- same md5(doc_id) recipe the fixture generator used, with
+            -- the luma expression in the decoder's exact operation order
             WITH f AS (
-              SELECT doc_id, payload, sha256(lower(hex(payload))) AS d
+              SELECT doc_id, payload, meta,
+                     md5(CAST(doc_id AS VARCHAR)) AS m,
+                     sha256(lower(hex(payload))) AS d
               FROM '{_MEDIA_PARQUET}' WHERE media_type = 'image'
             )
             SELECT doc_id,
-                   64 + CAST('0x' || substr(d, 1, 2) AS INT) % 192 AS width,
-                   64 + CAST('0x' || substr(d, 3, 2) AS INT) % 192 AS height,
+                   meta.width AS width,
+                   meta.height AS height,
                    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-                   round(CAST('0x' || substr(d, 5, 4) AS INT) / 65535.0, 6) AS mean_luma,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN round(CAST('0x' || substr(m, 5, 2) AS INT) / 255.0, 6)
+                        ELSE round((0.299 * CAST('0x' || substr(m, 5, 2) AS INT)
+                                  + 0.587 * CAST('0x' || substr(m, 7, 2) AS INT)
+                                  + 0.114 * CAST('0x' || substr(m, 9, 2) AS INT))
+                                  / 255.0, 6)
+                   END AS mean_luma,
                    CAST('0x' || substr(d, 1, 15) AS BIGINT) AS phash
             FROM f
         """,
