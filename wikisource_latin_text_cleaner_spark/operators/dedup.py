@@ -1491,10 +1491,12 @@ def _incremental_minhash_impl(
     runs Spark jobs immediately (forced cache fills -- see
     ``_persist_forced``); pass ``persist=False`` to keep the returned
     frames fully lazy, at the cost of the measured multi-consumer
-    recompute races. Callers looping this per-batch should unpersist the
-    PREVIOUS batch's returned frames (or ``spark.catalog.clearCache()``
-    between batches): forced MEMORY_AND_DISK caches are not LRU-evicted
-    from disk and accumulate for the life of the session.
+    recompute races. Per-batch loops release the previous batch's caches
+    through the MECHANIZED path on the public wrapper
+    (``incremental_minhash_dedup(..., unpersist_prior=prev_handle)`` /
+    ``.dedup_caches`` / ``release_caches``): forced MEMORY_AND_DISK
+    caches are not LRU-evicted from disk and accumulate for the life of
+    the session if never released.
     """
 
     sig_udf = signature_udf if signature_udf is not None else minhash_udf
