@@ -185,3 +185,5 @@ def test_release_caches_normalizes_inputs(spark):
     assert n == 1  # exact first-snapshot pins exactly kept_h
     with pytest.raises(TypeError):
         dedup.release_caches(42)
+    with pytest.raises(TypeError):
+        dedup.release_caches("a")  # str iterates to itself: rejected, not recursed

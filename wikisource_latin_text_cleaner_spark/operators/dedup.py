@@ -168,6 +168,9 @@ def release_caches(*items, blocking: bool = False) -> int:
             h = getattr(item, "dedup_caches", None)
             if h is not None:
                 n += h.release(blocking=blocking)
+        elif isinstance(item, (str, bytes)):
+            # a 1-char str iterates to itself -- recursing would never end
+            raise TypeError(f"cannot release caches from {type(item)!r}")
         elif isinstance(item, Iterable):
             n += release_caches(*item, blocking=blocking)
         else:
